@@ -1,0 +1,81 @@
+"""Shared SAM building blocks (flax).
+
+Parity targets: HF ``transformers.models.sam.modeling_sam`` (the external
+dependency of reference ``mmdet/rsprompter/models.py``): ``SamMLPBlock``,
+``SamLayerNorm``, ``SamFeedForward``. Submodule attribute names mirror the
+torch parameter tree so checkpoint conversion is mechanical.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MLPBlock(nn.Module):
+    """Two-layer GELU MLP: lin1 -> gelu -> lin2 (HF SamMLPBlock)."""
+
+    mlp_dim: int
+    hidden_size: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="lin2")(x)
+        return x
+
+
+class SamLayerNorm(nn.Module):
+    """Channel-wise LayerNorm over the last axis (NHWC everywhere on TPU).
+
+    The torch counterpart supports channels_first; this framework keeps NHWC
+    so it is always a plain last-axis LayerNorm. Also covers the reference's
+    ``LN2d`` (reference ``mmdet/rsprompter/models.py:33-50``) since that is
+    channel LayerNorm in NCHW.
+    """
+
+    eps: float = 1e-6
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class SamFeedForward(nn.Module):
+    """ReLU MLP with ``num_layers`` total linear layers (HF SamFeedForward).
+
+    Layout: proj_in -> relu -> [layers_i -> relu]*(num_layers-2) -> proj_out
+    (-> sigmoid if sigmoid_output).
+    """
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    sigmoid_output: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj_in")(x)
+        x = nn.relu(x)
+        for i in range(self.num_layers - 2):
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"layers_{i}")(x)
+            x = nn.relu(x)
+        x = nn.Dense(self.output_dim, dtype=self.dtype, name="proj_out")(x)
+        if self.sigmoid_output:
+            x = nn.sigmoid(x)
+        return x

@@ -1,0 +1,231 @@
+"""SAM ViT image encoder (flax, NHWC).
+
+Parity targets: HF ``SamVisionEncoder`` (the external module wrapped by the
+reference at ``mmdet/rsprompter/models.py:763-809``) and its in-repo mirror
+``mmpretrain/models/backbones/vit_sam.py:317-697``. ViT-B/L/H: patch embed
+16x16 -> abs pos embed -> N transformer layers (windowed attention, window 14,
+except ``global_attn_indexes``) -> 1x1 conv + LN + 3x3 conv + LN neck to 256ch.
+
+Emits all per-layer hidden states (embedding output first, ``(depth+1)`` states
+in ``b h w c``) for the RSPrompter feature aggregator — the
+``output_hidden_states=True`` contract of reference ``models.py:989-1006``.
+
+Dynamic input size: the pos-embed bicubic resize and rel-pos table resize of
+``vit_sam.py:576-588,636-662`` happen at trace time from static shapes, so
+each input-size bucket compiles once (no in-graph dynamism).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from rsprompter_tpu.models.sam.common import MLPBlock, SamLayerNorm
+from rsprompter_tpu.models.sam.configs import SamVisionConfig
+from rsprompter_tpu.ops.attention import attention_rel_pos
+
+
+def window_partition(x: jax.Array, window: int) -> Tuple[jax.Array, Tuple[int, int]]:
+    """(B, H, W, C) -> (B*nW, window, window, C) with zero padding."""
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
+    return x, (hp, wp)
+
+
+def window_unpartition(
+    windows: jax.Array, window: int, padded: Tuple[int, int], original: Tuple[int, int]
+) -> jax.Array:
+    """Inverse of window_partition, cropping the padding."""
+    hp, wp = padded
+    h, w = original
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((hp // window) * (wp // window))
+    x = windows.reshape(b, hp // window, wp // window, window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+    return x[:, :h, :w, :]
+
+
+class SamPatchEmbeddings(nn.Module):
+    """16x16 stride-16 conv patchifier: (B,H,W,3) -> (B,H/16,W/16,C)."""
+
+    hidden_size: int
+    patch_size: int = 16
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        return nn.Conv(
+            self.hidden_size,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="projection",
+        )(pixel_values)
+
+
+class SamVisionAttention(nn.Module):
+    """Windowed/global MHA with decomposed relative position bias."""
+
+    hidden_size: int
+    num_attention_heads: int
+    use_rel_pos: bool
+    input_size: Tuple[int, int]  # rel-pos table native size (window or full grid)
+    qkv_bias: bool = True
+    global_attn: bool = False
+    attn_impl: str = "xla"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        nh = self.num_attention_heads
+        hd = self.hidden_size // nh
+        qkv = nn.Dense(
+            3 * self.hidden_size, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        )(x)
+        qkv = qkv.reshape(b, h * w, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nh, HW, hd)
+
+        rel_pos_h = rel_pos_w = None
+        if self.use_rel_pos:
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, hd)
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, hd)
+            )
+
+        impl = self.attn_impl if self.global_attn else "xla"
+        out = attention_rel_pos(q, k, v, (h, w), rel_pos_h, rel_pos_w, impl=impl)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.hidden_size)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, name="proj")(out)
+
+
+class SamVisionLayer(nn.Module):
+    """Pre-LN ViT block with optional window partition (window_size>0)."""
+
+    config: SamVisionConfig
+    window_size: int
+    attn_impl: str = "xla"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        residual = x
+        x = SamLayerNorm(eps=cfg.layer_norm_eps, name="layer_norm1")(x)
+        if self.window_size > 0:
+            h, w = x.shape[1], x.shape[2]
+            x, padded = window_partition(x, self.window_size)
+            input_size = (self.window_size, self.window_size)
+        else:
+            input_size = (x.shape[1], x.shape[2])
+        x = SamVisionAttention(
+            hidden_size=cfg.hidden_size,
+            num_attention_heads=cfg.num_attention_heads,
+            use_rel_pos=cfg.use_rel_pos,
+            input_size=(cfg.grid_size, cfg.grid_size)
+            if self.window_size == 0
+            else (self.window_size, self.window_size),
+            qkv_bias=cfg.qkv_bias,
+            global_attn=self.window_size == 0,
+            attn_impl=self.attn_impl,
+            dtype=self.dtype,
+            name="attn",
+        )(x)
+        del input_size
+        if self.window_size > 0:
+            x = window_unpartition(x, self.window_size, padded, (h, w))
+        x = residual + x
+        y = SamLayerNorm(eps=cfg.layer_norm_eps, name="layer_norm2")(x)
+        y = MLPBlock(
+            mlp_dim=cfg.mlp_dim, hidden_size=cfg.hidden_size, dtype=self.dtype, name="mlp"
+        )(y)
+        return x + y
+
+
+class SamVisionNeck(nn.Module):
+    """1x1 conv -> LN -> 3x3 conv -> LN, to output_channels (bias-free convs)."""
+
+    output_channels: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.output_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
+        )(x)
+        x = SamLayerNorm(name="layer_norm1")(x)
+        x = nn.Conv(
+            self.output_channels, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            name="conv2",
+        )(x)
+        x = SamLayerNorm(name="layer_norm2")(x)
+        return x
+
+
+class SamVisionEncoder(nn.Module):
+    """Full SAM image encoder.
+
+    __call__(pixel_values NHWC) -> (neck_out (B,h,w,256), hidden_states tuple).
+    ``hidden_states[0]`` is the post-pos-embed patch embedding; entry ``i+1``
+    is the output of layer ``i`` — matching the reference's
+    ``output_hidden_states=True`` indexing (``models.py:989-1006``).
+    """
+
+    config: SamVisionConfig
+    attn_impl: str = "xla"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, pixel_values, output_hidden_states: bool = True):
+        cfg = self.config
+        x = SamPatchEmbeddings(
+            hidden_size=cfg.hidden_size,
+            patch_size=cfg.patch_size,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(pixel_values)
+        if cfg.use_abs_pos:
+            pos_embed = self.param(
+                "pos_embed",
+                nn.initializers.zeros,
+                (1, cfg.grid_size, cfg.grid_size, cfg.hidden_size),
+            )
+            if pos_embed.shape[1:3] != x.shape[1:3]:
+                # dynamic input size: bicubic-resize abs PE (trace-time static)
+                pos_embed = jax.image.resize(
+                    pos_embed,
+                    (1, x.shape[1], x.shape[2], cfg.hidden_size),
+                    method="bicubic",
+                )
+            x = x + pos_embed.astype(x.dtype)
+
+        hidden_states = [x]
+        for i in range(cfg.num_hidden_layers):
+            window = 0 if i in cfg.global_attn_indexes else cfg.window_size
+            x = SamVisionLayer(
+                config=cfg,
+                window_size=window,
+                attn_impl=self.attn_impl,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(x)
+            hidden_states.append(x)
+
+        neck_out = SamVisionNeck(
+            output_channels=cfg.output_channels, dtype=self.dtype, name="neck"
+        )(x)
+        if output_hidden_states:
+            return neck_out, tuple(hidden_states)
+        return neck_out

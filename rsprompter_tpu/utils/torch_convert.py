@@ -1,0 +1,160 @@
+"""Torch checkpoint -> flax params conversion.
+
+A hard requirement of the north star: load the reference's HF SAM checkpoints
+(``pytorch_model.bin`` / safetensors) and mmengine ``.pth`` trained weights
+into this framework's flax modules. The reference loads per-component with
+key rewriting (reference ``mmdet/rsprompter/models.py:777-783`` uses
+``revise_keys=[('^module.',''), ('^vision_encoder.','')]``); we mirror that
+contract with a ``revise_keys`` regex list.
+
+Mapping strategy: walk the *flax* param tree (so shapes/paths are authoritative),
+derive the torch key from the flax path, and transform by leaf kind:
+
+  flax leaf            torch tensor                transform
+  ------------------   -------------------------   ---------------------------
+  kernel (ndim 2)      Linear.weight (O, I)        transpose -> (I, O)
+  kernel (ndim 4)      Conv2d.weight (O,I,kh,kw)   -> (kh, kw, I, O)
+  kernel (ndim 4, ConvTranspose2d.weight           spatial flip ->
+    name has upscale_conv)          (I,O,kh,kw)    (kh, kw, I, O)
+  scale                LayerNorm.weight            as-is
+  bias                 .bias                       as-is
+  embedding            Embedding.weight            as-is
+  (anything else)      buffer/param of same name   as-is
+
+Flax list-module names ``layers_3`` map to torch ``layers.3`` etc.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_LIST_SUFFIX = re.compile(r"^(.*)_(\d+)$")
+# flax module names whose trailing _N means torch list-index .N
+_INDEXED_MODULES = (
+    "layers",
+    "point_embed",
+    "output_hypernetworks_mlps",
+    "blocks",
+    "convs",
+    "lateral_convs",
+    "fpn_convs",
+    "downconvs",
+    "hidden_convs",
+)
+
+
+def _flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
+    parts: List[str] = []
+    for i, p in enumerate(path):
+        is_leaf = i == len(path) - 1
+        if is_leaf:
+            if p == "kernel":
+                parts.append("weight")
+            elif p == "scale":
+                parts.append("weight")
+            elif p == "embedding":
+                parts.append("weight")
+            else:
+                parts.append(p)
+        else:
+            m = _LIST_SUFFIX.match(p)
+            if m and m.group(1) in _INDEXED_MODULES:
+                parts.append(f"{m.group(1)}.{m.group(2)}")
+            else:
+                parts.append(p)
+    return ".".join(parts)
+
+
+def _transform(torch_arr: np.ndarray, flax_leaf_name: str, flax_shape, path) -> np.ndarray:
+    arr = np.asarray(torch_arr)
+    if flax_leaf_name == "kernel":
+        if arr.ndim == 2:
+            arr = arr.T
+        elif arr.ndim == 4:
+            if any("upscale_conv" in p or "deconv" in p for p in path):
+                # ConvTranspose2d (I, O, kh, kw): flip spatial, to (kh, kw, I, O)
+                arr = arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+            else:
+                # Conv2d (O, I, kh, kw) -> (kh, kw, I, O)
+                arr = arr.transpose(2, 3, 1, 0)
+        else:
+            raise ValueError(f"Unhandled kernel ndim {arr.ndim} at {path}")
+    if tuple(arr.shape) != tuple(flax_shape):
+        raise ValueError(
+            f"Shape mismatch at {'.'.join(path)}: torch {arr.shape} vs flax {tuple(flax_shape)}"
+        )
+    return np.ascontiguousarray(arr)
+
+
+def revise_state_dict_keys(
+    state_dict: Dict[str, Any], revise_keys: Sequence[Tuple[str, str]]
+) -> Dict[str, Any]:
+    out = {}
+    for k, v in state_dict.items():
+        for pat, repl in revise_keys:
+            k = re.sub(pat, repl, k)
+        out[k] = v
+    return out
+
+
+def torch_to_flax(
+    state_dict: Dict[str, Any],
+    flax_params: Dict[str, Any],
+    prefix: str = "",
+    revise_keys: Sequence[Tuple[str, str]] = (),
+    strict: bool = False,
+) -> Tuple[Dict[str, Any], List[str], List[str]]:
+    """Fill a flax param tree from a torch state_dict.
+
+    Returns (params, missing_keys, used_keys). Missing keys keep their flax
+    initialization (the reference's HF loader also tolerates missing/extra,
+    SURVEY §3.5).
+    """
+    state_dict = revise_state_dict_keys(
+        {k: _to_numpy(v) for k, v in state_dict.items()}, revise_keys
+    )
+    missing: List[str] = []
+    used: List[str] = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        torch_key = prefix + _flax_path_to_torch_key(path)
+        if torch_key in state_dict:
+            used.append(torch_key)
+            arr = _transform(state_dict[torch_key], path[-1], node.shape, path)
+            return jnp.asarray(arr, dtype=node.dtype)
+        missing.append(torch_key)
+        return node
+
+    new_params = walk(flax_params, ())
+    if strict and missing:
+        raise KeyError(f"Missing torch keys for flax params: {missing[:20]}")
+    return new_params, missing, used
+
+
+def _to_numpy(v) -> np.ndarray:
+    if isinstance(v, np.ndarray):
+        return v
+    # torch tensor without importing torch at module scope
+    if hasattr(v, "detach"):
+        return v.detach().cpu().float().numpy()
+    return np.asarray(v)
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a ``.bin``/``.pth`` (torch pickle) or ``.safetensors`` file into numpy."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: _to_numpy(v) for k, v in obj.items()}
