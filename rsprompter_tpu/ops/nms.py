@@ -1,0 +1,90 @@
+"""Static-shape NMS for TPU (replaces mmcv's CUDA nms/batched_nms, SURVEY §2.4).
+
+Design: fixed-size inputs + validity masks, O(N^2) IoU matrix, sequential
+suppression via ``lax.fori_loop`` (each step is a fully vectorized row update,
+so the device executes N tiny VPU steps over an in-VMEM matrix — the standard
+TPU formulation of greedy NMS). Outputs are padded to ``max_out`` with a keep
+mask; downstream consumers thread the mask, never a dynamic count.
+
+Used where the reference calls ``mmcv.ops.batched_nms``
+(``mmdet/models/dense_heads/base_dense_head.py:485``, bbox post NMS).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rsprompter_tpu.ops.boxes import bbox_overlaps
+
+
+@partial(jax.jit, static_argnames=("iou_thr", "max_out"))
+def nms_padded(
+    boxes: jax.Array,
+    scores: jax.Array,
+    iou_thr: float = 0.5,
+    max_out: int = 100,
+    valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Greedy NMS over padded inputs.
+
+    Args:
+      boxes: (N, 4) xyxy. scores: (N,). valid: optional (N,) bool.
+    Returns:
+      (idx (max_out,) int32 indices into the input,
+       keep (max_out,) bool,
+       out_boxes (max_out, 4), out_scores (max_out,) — gathered & masked).
+    """
+    n = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    if valid is not None:
+        scores = jnp.where(valid, scores, neg_inf)
+
+    order = jnp.argsort(-scores)
+    sboxes = boxes[order]
+    sscores = scores[order]
+    iou = bbox_overlaps(sboxes, sboxes)
+
+    # suppressed[i] = True once a higher-scoring kept box overlaps > thr
+    invalid0 = ~jnp.isfinite(sscores)
+
+    def body(i, suppressed):
+        keep_i = ~suppressed[i]
+        row = (iou[i] > iou_thr) & (jnp.arange(n) > i) & keep_i
+        return suppressed | row
+
+    suppressed = jax.lax.fori_loop(0, n, body, invalid0)
+    kept = ~suppressed
+
+    # compact kept (already score-sorted) to the front, take max_out
+    rank = jnp.where(kept, jnp.arange(n), n + jnp.arange(n))
+    take = jnp.argsort(rank)[:max_out]
+    keep = kept[take]
+    idx = order[take]
+    out_boxes = jnp.where(keep[:, None], sboxes[take], 0.0)
+    out_scores = jnp.where(keep, sscores[take], neg_inf)
+    out_scores = jnp.where(jnp.isfinite(out_scores), out_scores, 0.0)
+    return idx, keep, out_boxes, out_scores
+
+
+def batched_nms(
+    boxes: jax.Array,
+    scores: jax.Array,
+    idxs: jax.Array,
+    iou_thr: float = 0.5,
+    max_out: int = 100,
+    valid: Optional[jax.Array] = None,
+    class_agnostic: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-class NMS via the coordinate-offset trick (one fused kernel)."""
+    if class_agnostic:
+        return nms_padded(boxes, scores, iou_thr, max_out, valid)
+    max_coord = jnp.max(boxes) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    idx, keep, _, out_scores = nms_padded(shifted, scores, iou_thr, max_out, valid)
+    out_boxes = jnp.where(keep[:, None], boxes[idx], 0.0)
+    return idx, keep, out_boxes, out_scores
