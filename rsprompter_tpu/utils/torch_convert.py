@@ -32,19 +32,16 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-_LIST_SUFFIX = re.compile(r"^(.*)_(\d+)$")
-# flax module names whose trailing _N means torch list-index .N
-_INDEXED_MODULES = (
-    "layers",
-    "point_embed",
-    "output_hypernetworks_mlps",
-    "blocks",
-    "convs",
-    "lateral_convs",
-    "fpn_convs",
-    "downconvs",
-    "hidden_convs",
-)
+_LIST_SUFFIX = re.compile(r"^(.*?)((?:_\d+)+)$")
+
+
+def _expand_indices(name: str) -> str:
+    """``downconvs_0_3`` -> ``downconvs.0.3`` (every trailing _N is an index)."""
+    m = _LIST_SUFFIX.match(name)
+    if not m:
+        return name
+    base, idxs = m.group(1), m.group(2)
+    return base + idxs.replace("_", ".")
 
 
 def _flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
@@ -52,21 +49,23 @@ def _flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
     for i, p in enumerate(path):
         is_leaf = i == len(path) - 1
         if is_leaf:
-            if p == "kernel":
+            if p in ("kernel", "scale", "embedding"):
                 parts.append("weight")
-            elif p == "scale":
-                parts.append("weight")
-            elif p == "embedding":
-                parts.append("weight")
+            elif p in ("mean",):
+                parts.append("running_mean")
+            elif p in ("var",):
+                parts.append("running_var")
             else:
                 parts.append(p)
         else:
-            m = _LIST_SUFFIX.match(p)
-            if m and m.group(1) in _INDEXED_MODULES:
-                parts.append(f"{m.group(1)}.{m.group(2)}")
-            else:
-                parts.append(p)
+            if p == "bn":
+                continue  # flax _BN wrapper level; torch BN params live on the Sequential idx
+            parts.append(_expand_indices(p))
     return ".".join(parts)
+
+
+# flax path substrings whose 4-D kernels are torch ConvTranspose2d weights
+_TRANSPOSE_CONV_HINTS = ("upscale_conv", "deconv", "fpn1_0", "fpn1_3", "fpn2_0")
 
 
 def _transform(torch_arr: np.ndarray, flax_leaf_name: str, flax_shape, path) -> np.ndarray:
@@ -75,12 +74,20 @@ def _transform(torch_arr: np.ndarray, flax_leaf_name: str, flax_shape, path) -> 
         if arr.ndim == 2:
             arr = arr.T
         elif arr.ndim == 4:
-            if any("upscale_conv" in p or "deconv" in p for p in path):
-                # ConvTranspose2d (I, O, kh, kw): flip spatial, to (kh, kw, I, O)
-                arr = arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+            is_transpose = any(
+                hint in p for p in path for hint in _TRANSPOSE_CONV_HINTS
+            )
+            conv = arr.transpose(2, 3, 1, 0)  # Conv2d (O,I,kh,kw) -> (kh,kw,I,O)
+            # ConvTranspose2d (I,O,kh,kw): flip spatial -> (kh,kw,I,O)
+            convT = arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+            if is_transpose:
+                arr = convT
+            elif tuple(conv.shape) == tuple(flax_shape):
+                arr = conv
+            elif tuple(convT.shape) == tuple(flax_shape):
+                arr = convT
             else:
-                # Conv2d (O, I, kh, kw) -> (kh, kw, I, O)
-                arr = arr.transpose(2, 3, 1, 0)
+                arr = conv
         else:
             raise ValueError(f"Unhandled kernel ndim {arr.ndim} at {path}")
     if tuple(arr.shape) != tuple(flax_shape):

@@ -1,0 +1,83 @@
+"""Tests: anchor generation, assignment, sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsprompter_tpu.models.task_modules.anchor_generator import AnchorGenerator
+from rsprompter_tpu.models.task_modules.assigners import max_iou_assign
+from rsprompter_tpu.models.task_modules.samplers import random_sample_padded
+
+
+def test_anchor_generator_shapes_and_centers():
+    gen = AnchorGenerator(strides=[4, 8], ratios=[0.5, 1.0, 2.0], scales=[8])
+    assert gen.num_base_priors == 3
+    anchors = gen.grid_anchors([(4, 4), (2, 2)])
+    assert anchors[0].shape == (4 * 4 * 3, 4)
+    assert anchors[1].shape == (2 * 2 * 3, 4)
+    # ratio=1 anchor at cell (0,0), stride 4: centered box of size 32
+    sq = anchors[0][1]
+    np.testing.assert_allclose(sq, [-16, -16, 16, 16])
+    # second cell shifted by stride along x
+    np.testing.assert_allclose(anchors[0][4] - anchors[0][1], [4, 0, 4, 0])
+
+
+def test_max_iou_assign_basic():
+    priors = jnp.asarray(
+        [[0, 0, 10, 10], [0, 0, 9, 9], [50, 50, 60, 60], [100, 100, 110, 110]],
+        jnp.float32,
+    )
+    gts = jnp.asarray([[0, 0, 10, 10], [49, 50, 60, 60]], jnp.float32)
+    labels = jnp.asarray([3, 7], jnp.int32)
+    valid = jnp.asarray([True, True])
+    res = max_iou_assign(priors, gts, labels, valid, 0.7, 0.3, 0.3)
+    np.testing.assert_array_equal(np.asarray(res.gt_inds), [1, 1, 2, 0])
+    np.testing.assert_array_equal(np.asarray(res.labels), [3, 3, 7, -1])
+
+
+def test_max_iou_assign_low_quality_claims_best_prior():
+    # gt overlaps one prior at 0.4 (< pos 0.7 but >= min_pos 0.3)
+    priors = jnp.asarray([[0, 0, 10, 25], [200, 200, 210, 210]], jnp.float32)
+    gts = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+    res = max_iou_assign(
+        priors, gts, jnp.zeros(1, jnp.int32), jnp.asarray([True]), 0.7, 0.3, 0.3
+    )
+    assert int(res.gt_inds[0]) == 1
+
+
+def test_max_iou_assign_ignores_invalid_gt():
+    priors = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+    gts = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+    res = max_iou_assign(
+        priors, gts, jnp.zeros(1, jnp.int32), jnp.asarray([False]), 0.7, 0.3, 0.3
+    )
+    assert int(res.gt_inds[0]) == 0  # negative, not positive
+
+
+def test_random_sampler_counts_and_packing():
+    rng = jax.random.PRNGKey(0)
+    # 10 pos, 200 neg, 40 ignore
+    assigned = jnp.concatenate(
+        [
+            jnp.ones(10, jnp.int32),
+            jnp.zeros(200, jnp.int32),
+            -jnp.ones(40, jnp.int32),
+        ]
+    )
+    s = random_sample_padded(rng, assigned, num=64, pos_fraction=0.25)
+    assert s.inds.shape == (64,)
+    np_pos = np.asarray(s.is_pos)
+    assert np_pos.sum() == 10  # all 10 positives (< 16 expected)
+    assert np.asarray(s.valid).sum() == 64
+    # positives packed first
+    assert np_pos[:10].all() and not np_pos[10:].any()
+    # sampled negatives are actual negatives
+    inds = np.asarray(s.inds)
+    assert (np.asarray(assigned)[inds[10:]] == 0).all()
+
+
+def test_random_sampler_caps_positives():
+    rng = jax.random.PRNGKey(1)
+    assigned = jnp.concatenate([jnp.ones(100, jnp.int32), jnp.zeros(100, jnp.int32)])
+    s = random_sample_padded(rng, assigned, num=64, pos_fraction=0.25)
+    assert np.asarray(s.is_pos).sum() == 16
