@@ -1,0 +1,211 @@
+"""COCO-style AP evaluation (pycocotools-COCOeval-compatible, numpy + native RLE).
+
+Replaces the reference's pycocotools dependency
+(``mmdet/evaluation/metrics/coco_metric.py:393`` runs COCOeval): same greedy
+score-ordered matching with crowd/ignore semantics, 101-point interpolated PR
+curves, IoU thresholds .5:.05:.95, area ranges all/small/medium/large and
+maxDets 100. Mask IoU goes through the native RLE library
+(``rsprompter_tpu/evaluation/rle.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from rsprompter_tpu.evaluation.rle import RLE, iou_matrix
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+
+def bbox_iou_np(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
+    """xyxy IoU; crowd gts use det-area denominator (IoF), like pycocotools."""
+    if len(dets) == 0 or len(gts) == 0:
+        return np.zeros((len(dets), len(gts)))
+    da = (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1])
+    ga = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1])
+    lt = np.maximum(dets[:, None, :2], gts[None, :, :2])
+    rb = np.minimum(dets[:, None, 2:], gts[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = np.where(iscrowd[None, :], da[:, None], da[:, None] + ga[None, :] - inter)
+    return np.where(union > 0, inter / union, 0.0)
+
+
+def _match_image(
+    ious: np.ndarray,  # (D, G) det-score-desc x gt (non-ignored first)
+    gt_ignore: np.ndarray,  # (G,)
+    gt_crowd: np.ndarray,  # (G,)
+    det_areas: np.ndarray,  # (D,)
+    area_rng,
+):
+    """Returns (dt_matched (T, D) bool, dt_ignore (T, D) bool) per IoU thr."""
+    d, g = ious.shape
+    t = len(IOU_THRS)
+    dtm = np.zeros((t, d), dtype=np.int64) - 1
+    gtm = np.zeros((t, g), dtype=np.int64) - 1
+    dt_ig = np.zeros((t, d), bool)
+    for ti, thr in enumerate(IOU_THRS):
+        for di in range(d):
+            best_iou = min(thr, 1 - 1e-10)
+            m = -1
+            for gi in range(g):
+                if gtm[ti, gi] >= 0 and not gt_crowd[gi]:
+                    continue
+                if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
+                    break  # gts sorted: once past non-ignored, stop improving
+                if ious[di, gi] < best_iou:
+                    continue
+                best_iou = ious[di, gi]
+                m = gi
+            if m == -1:
+                continue
+            dtm[ti, di] = m
+            gtm[ti, m] = di
+            dt_ig[ti, di] = gt_ignore[m]
+    # unmatched dets outside the area range are ignored
+    out_of_rng = (det_areas < area_rng[0]) | (det_areas > area_rng[1])
+    dt_ig |= (dtm == -1) & out_of_rng[None, :]
+    return dtm >= 0, dt_ig
+
+
+class CocoEvaluator:
+    """Accumulates per-image results and computes AP.
+
+    ``add_image(dets, gts)`` per image:
+      dets: {'bboxes' (D,4) xyxy, 'scores' (D,), 'labels' (D,),
+             'masks': list[RLE] (for segm)}
+      gts:  {'bboxes', 'labels', 'iscrowd' (G,), 'areas' (G,),
+             'masks': list[RLE]}
+    """
+
+    def __init__(self, num_classes: int, iou_type: str = "bbox", max_dets: int = 100):
+        assert iou_type in ("bbox", "segm")
+        self.num_classes = num_classes
+        self.iou_type = iou_type
+        self.max_dets = max_dets
+        # per (class, area) lists over images
+        self._results: Dict = {
+            (c, a): {"scores": [], "matched": [], "ignored": [], "npig": 0}
+            for c in range(num_classes)
+            for a in AREA_RANGES
+        }
+
+    def add_image(self, dets: Dict, gts: Dict) -> None:
+        d_labels = np.asarray(dets["labels"], np.int64)
+        d_scores = np.asarray(dets["scores"], np.float64)
+        g_labels = np.asarray(gts["labels"], np.int64)
+        g_crowd = np.asarray(gts.get("iscrowd", np.zeros(len(g_labels), bool)), bool)
+        g_areas = np.asarray(
+            gts.get(
+                "areas",
+                (np.asarray(gts["bboxes"])[:, 2] - np.asarray(gts["bboxes"])[:, 0])
+                * (np.asarray(gts["bboxes"])[:, 3] - np.asarray(gts["bboxes"])[:, 1])
+                if len(g_labels)
+                else np.zeros(0),
+            ),
+            np.float64,
+        )
+        d_boxes = np.asarray(dets["bboxes"], np.float64).reshape(-1, 4)
+        g_boxes = np.asarray(gts["bboxes"], np.float64).reshape(-1, 4)
+        d_areas_box = (d_boxes[:, 2] - d_boxes[:, 0]) * (d_boxes[:, 3] - d_boxes[:, 1])
+
+        for c in range(self.num_classes):
+            dsel = np.flatnonzero(d_labels == c)
+            gsel = np.flatnonzero(g_labels == c)
+            dsel = dsel[np.argsort(-d_scores[dsel], kind="mergesort")][: self.max_dets]
+            for aname, arng in AREA_RANGES.items():
+                g_ignore = g_crowd[gsel] | (g_areas[gsel] < arng[0]) | (
+                    g_areas[gsel] > arng[1]
+                )
+                order = np.argsort(g_ignore, kind="mergesort")  # non-ignored first
+                gsel_o = gsel[order]
+                g_ignore_o = g_ignore[order]
+                if self.iou_type == "bbox":
+                    ious = bbox_iou_np(
+                        d_boxes[dsel], g_boxes[gsel_o], g_crowd[gsel_o]
+                    )
+                    det_a = d_areas_box[dsel]
+                else:
+                    d_rles = [dets["masks"][i] for i in dsel]
+                    g_rles = [gts["masks"][i] for i in gsel_o]
+                    ious = iou_matrix(d_rles, g_rles, g_crowd[gsel_o])
+                    det_a = np.asarray([r.area() for r in d_rles], np.float64)
+                matched, ignored = _match_image(
+                    ious, g_ignore_o, g_crowd[gsel_o], det_a, arng
+                )
+                slot = self._results[(c, aname)]
+                slot["scores"].append(d_scores[dsel])
+                slot["matched"].append(matched)
+                slot["ignored"].append(ignored)
+                slot["npig"] += int((~g_ignore_o).sum())
+
+    def _ap_recall(self, c: int, aname: str):
+        slot = self._results[(c, aname)]
+        npig = slot["npig"]
+        if npig == 0:
+            return None, None
+        scores = np.concatenate(slot["scores"]) if slot["scores"] else np.zeros(0)
+        t = len(IOU_THRS)
+        matched = (
+            np.concatenate(slot["matched"], axis=1)
+            if slot["matched"]
+            else np.zeros((t, 0), bool)
+        )
+        ignored = (
+            np.concatenate(slot["ignored"], axis=1)
+            if slot["ignored"]
+            else np.zeros((t, 0), bool)
+        )
+        order = np.argsort(-scores, kind="mergesort")
+        matched, ignored = matched[:, order], ignored[:, order]
+        tp = np.cumsum(matched & ~ignored, axis=1).astype(np.float64)
+        fp = np.cumsum(~matched & ~ignored, axis=1).astype(np.float64)
+        ap = np.zeros(t)
+        rec = np.zeros(t)
+        for ti in range(t):
+            nd = tp[ti].size
+            rc = tp[ti] / npig
+            pr = tp[ti] / np.maximum(tp[ti] + fp[ti], np.spacing(1))
+            rec[ti] = rc[-1] if nd else 0.0
+            # precision envelope
+            for i in range(nd - 1, 0, -1):
+                pr[i - 1] = max(pr[i - 1], pr[i])
+            inds = np.searchsorted(rc, REC_THRS, side="left")
+            q = np.zeros(len(REC_THRS))
+            valid = inds < nd
+            q[valid] = pr[inds[valid]]
+            ap[ti] = q.mean()
+        return ap, rec
+
+    def summarize(self) -> Dict[str, float]:
+        per_cls = {a: [] for a in AREA_RANGES}
+        for c in range(self.num_classes):
+            for a in AREA_RANGES:
+                ap, _ = self._ap_recall(c, a)
+                if ap is not None:
+                    per_cls[a].append(ap)
+
+        def mean_ap(a, thr_idx=None):
+            if not per_cls[a]:
+                return float("nan")
+            arr = np.stack(per_cls[a])  # (C, T)
+            return float(arr.mean() if thr_idx is None else arr[:, thr_idx].mean())
+
+        p = self.iou_type
+        return {
+            f"{p}_mAP": round(mean_ap("all"), 4),
+            f"{p}_mAP_50": round(mean_ap("all", 0), 4),
+            f"{p}_mAP_75": round(mean_ap("all", 5), 4),
+            f"{p}_mAP_s": round(mean_ap("small"), 4),
+            f"{p}_mAP_m": round(mean_ap("medium"), 4),
+            f"{p}_mAP_l": round(mean_ap("large"), 4),
+        }

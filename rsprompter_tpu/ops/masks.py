@@ -1,0 +1,70 @@
+"""Mask postprocessing: the resize -> crop-pad -> resize -> threshold chain.
+
+Behavior parity: reference ``RSPrompterAnchorMaskHead._predict_by_feat_single``
+(``mmdet/rsprompter/models.py:1746-1784``) and the SAM-det chain
+(``models.py:1198-1212``): sigmoid 256^2 masks -> bilinear to
+``batch_input_shape`` -> crop the scale-factor-valid region -> bilinear to
+``ori_shape`` -> threshold 0.5.
+
+Memory design (SURVEY §7 hard-part #4): the fixed-size upsample to
+``batch_input_shape`` runs on device; the per-image variable crop/resize (a
+dynamic shape) runs host-side in numpy at eval time only.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def upsample_masks(masks: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Bilinear-resize (..., h, w) masks to (..., H, W) on device."""
+    out_shape = masks.shape[:-2] + tuple(size)
+    return jax.image.resize(masks, out_shape, method="bilinear")
+
+
+def _np_bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """align_corners=False bilinear resize for (N, H, W) numpy stacks."""
+    n, h, w = img.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1).astype(np.float32)[None, :, None]
+    wx = np.clip(xs - x0, 0, 1).astype(np.float32)[None, None, :]
+    p00 = img[:, y0[:, None], x0[None, :]]
+    p01 = img[:, y0[:, None], x1[None, :]]
+    p10 = img[:, y1[:, None], x0[None, :]]
+    p11 = img[:, y1[:, None], x1[None, :]]
+    return (
+        p00 * (1 - wy) * (1 - wx)
+        + p01 * (1 - wy) * wx
+        + p10 * wy * (1 - wx)
+        + p11 * wy * wx
+    )
+
+
+def finalize_masks_np(
+    mask_probs: np.ndarray,  # (N, S, S) sigmoid probs (low-res, full-frame)
+    batch_input_shape: Tuple[int, int],
+    ori_shape: Tuple[int, int],
+    scale_factor: Tuple[float, float],  # (w_scale, h_scale)
+    thr: float = 0.5,
+) -> np.ndarray:
+    """Host-side finalization to original resolution binary masks."""
+    in_h, in_w = batch_input_shape
+    ori_h, ori_w = ori_shape
+    w_scale, h_scale = scale_factor
+    up = _np_bilinear_resize(mask_probs.astype(np.float32), in_h, in_w)
+    crop_h = int(ori_h * h_scale)
+    crop_w = int(ori_w * w_scale)
+    up = up[:, :crop_h, :crop_w]
+    out = _np_bilinear_resize(up, ori_h, ori_w)
+    if thr >= 0:
+        return out >= thr
+    return (out * 255).astype(np.uint8)

@@ -68,10 +68,22 @@ def _flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
 _TRANSPOSE_CONV_HINTS = ("upscale_conv", "deconv", "fpn1_0", "fpn1_3", "fpn2_0")
 
 
-def _transform(torch_arr: np.ndarray, flax_leaf_name: str, flax_shape, path) -> np.ndarray:
+def _transform(
+    torch_arr: np.ndarray, flax_leaf_name: str, flax_shape, path,
+    flatten_linears: Optional[Dict[str, Tuple[int, int, int]]] = None,
+) -> np.ndarray:
     arr = np.asarray(torch_arr)
     if flax_leaf_name == "kernel":
         if arr.ndim == 2:
+            # Linears fed by a flattened conv map: torch flattened NCHW
+            # (c, h, w) order, flax flattens NHWC (h, w, c) — permute columns.
+            for hint, (c, h, w) in (flatten_linears or {}).items():
+                if any(hint == p for p in path):
+                    o = arr.shape[0]
+                    arr = (
+                        arr.reshape(o, c, h, w).transpose(0, 2, 3, 1).reshape(o, -1)
+                    )
+                    break
             arr = arr.T
         elif arr.ndim == 4:
             is_transpose = any(
@@ -114,12 +126,14 @@ def torch_to_flax(
     prefix: str = "",
     revise_keys: Sequence[Tuple[str, str]] = (),
     strict: bool = False,
+    flatten_linears: Optional[Dict[str, Tuple[int, int, int]]] = None,
 ) -> Tuple[Dict[str, Any], List[str], List[str]]:
     """Fill a flax param tree from a torch state_dict.
 
     Returns (params, missing_keys, used_keys). Missing keys keep their flax
     initialization (the reference's HF loader also tolerates missing/extra,
-    SURVEY §3.5).
+    SURVEY §3.5). ``flatten_linears`` maps flax module names to the (C, H, W)
+    of the conv map their input flattens.
     """
     state_dict = revise_state_dict_keys(
         {k: _to_numpy(v) for k, v in state_dict.items()}, revise_keys
@@ -133,7 +147,9 @@ def torch_to_flax(
         torch_key = prefix + _flax_path_to_torch_key(path)
         if torch_key in state_dict:
             used.append(torch_key)
-            arr = _transform(state_dict[torch_key], path[-1], node.shape, path)
+            arr = _transform(
+                state_dict[torch_key], path[-1], node.shape, path, flatten_linears
+            )
             return jnp.asarray(arr, dtype=node.dtype)
         missing.append(torch_key)
         return node

@@ -1,0 +1,91 @@
+"""End-to-end RSPrompter-anchor: loss + predict on tiny shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsprompter_tpu.models.detectors.rsprompter_anchor import RSPrompterAnchor
+from rsprompter_tpu.models.sam.configs import SamVisionConfig
+from rsprompter_tpu.utils.testing import demo_batch
+
+TINY_VISION = SamVisionConfig(
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    image_size=64,
+    patch_size=8,
+    window_size=4,
+    global_attn_indexes=(1,),
+    output_channels=32,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = RSPrompterAnchor(
+        vision_config=TINY_VISION,
+        image_size=64,
+        num_classes=1,
+        prompt_shape=(10, 3),
+        select_layers=(1, 2),
+        aggregator_hidden=8,
+        rpn_strides=(2, 4, 8, 16, 32),
+        roi_strides=(2, 4, 8, 16),
+        num_samples=16,
+        pos_fraction=0.25,
+        train_cfg=dict(
+            rpn=dict(num=16),
+            rpn_proposal=dict(nms_pre=50, max_per_img=20, pre_nms_total=60),
+        ),
+        test_cfg=dict(
+            rpn=dict(nms_pre=50, max_per_img=20, pre_nms_total=60),
+            rcnn=dict(score_thr=0.0, max_per_img=4),
+        ),
+    )
+    batch = {k: jnp.asarray(v) for k, v in demo_batch(2, (64, 64)).items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, jax.random.PRNGKey(1), method="loss"
+    )
+    return model, variables, batch
+
+
+def test_loss_mode(model_and_params):
+    model, variables, batch = model_and_params
+    losses = model.apply(
+        variables, batch, jax.random.PRNGKey(2), method="loss",
+        mutable=["batch_stats"],
+    )[0]
+    expected = {"loss_rpn_cls", "loss_rpn_bbox", "loss_cls", "loss_bbox", "loss_mask"}
+    assert expected <= set(losses)
+    for k, v in losses.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert float(losses["loss_mask"]) > 0
+
+
+def test_gradients_reach_point_emb_through_frozen_decoder(model_and_params):
+    model, variables, batch = model_and_params
+
+    def mask_loss(params):
+        losses = model.apply(
+            {**variables, "params": params}, batch, jax.random.PRNGKey(2),
+            method="loss", mutable=["batch_stats"],
+        )[0]
+        return losses["loss_mask"]
+
+    grads = jax.grad(mask_loss)(variables["params"])
+    g_pe = grads["roi_head"]["mask_head"]["point_emb_8"]["kernel"]
+    assert np.abs(np.asarray(g_pe)).max() > 0
+    # backbone is stop-gradiented
+    g_bb = jax.tree_util.tree_leaves(grads["backbone"])
+    assert all(np.abs(np.asarray(g)).max() == 0 for g in g_bb)
+
+
+def test_predict_mode(model_and_params):
+    model, variables, batch = model_and_params
+    dets, mask_probs = model.apply(variables, batch, method="predict")
+    b = batch["images"].shape[0]
+    assert dets.boxes.shape == (b, 4, 4)
+    # SAM masks are full-frame at 4x the image-embedding grid (8x8 -> 32x32)
+    assert mask_probs.shape == (b, 4, 32, 32)
+    assert np.asarray(mask_probs).min() >= 0 and np.asarray(mask_probs).max() <= 1
