@@ -1,0 +1,152 @@
+"""Training/eval runner: the thin replacement for the mmengine Runner.
+
+Covers the reference's EpochBasedTrainLoop + ValLoop + hooks surface
+(SURVEY §3.1-3.2): epoch loop, per-iter logging with smoothed it/s
+(LogProcessor window), periodic validation with CocoMetric, checkpoint
+save/best/resume, finite-loss guard (the checkloss-hook analogue), and
+optional W&B-style JSONL metric logs in ``work_dir``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import deque
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from rsprompter_tpu.data.loader import DataLoader
+from rsprompter_tpu.engine.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from rsprompter_tpu.engine.train_state import TrainState
+from rsprompter_tpu.evaluation.coco_metric import CocoMetric, gt_from_raw_sample
+
+
+class Runner:
+    def __init__(
+        self,
+        model,
+        tx,
+        train_loader: DataLoader,
+        val_loader: Optional[DataLoader] = None,
+        val_dataset=None,
+        work_dir: str = "./work_dir",
+        max_epochs: int = 12,
+        val_interval: int = 3,
+        log_interval: int = 20,
+        num_classes: int = 1,
+        seed: int = 0,
+        make_step=None,
+        predict_fn=None,
+    ):
+        self.model = model
+        self.tx = tx
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.val_dataset = val_dataset
+        self.work_dir = work_dir
+        self.max_epochs = max_epochs
+        self.val_interval = val_interval
+        self.log_interval = log_interval
+        self.num_classes = num_classes
+        self.rng = jax.random.PRNGKey(seed)
+        os.makedirs(work_dir, exist_ok=True)
+        self.log_path = os.path.join(work_dir, "metrics.jsonl")
+        self.make_step = make_step
+        self.predict_fn = predict_fn
+        self.best_metric = -1.0
+
+    def _log(self, record: Dict[str, Any]) -> None:
+        record = {
+            k: (float(v) if isinstance(v, (np.floating, np.ndarray, jax.Array)) else v)
+            for k, v in record.items()
+        }
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        msg = " ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in record.items()
+        )
+        print(msg, flush=True)
+
+    def train(self, state: TrainState, resume: bool = False) -> TrainState:
+        from rsprompter_tpu.engine.train_state import make_train_step
+
+        ckpt_dir = os.path.join(self.work_dir, "ckpts")
+        if resume:
+            path = latest_checkpoint(ckpt_dir)
+            if path:
+                state = restore_checkpoint(path, state)
+                print(f"resumed from {path}")
+        step_fn = self.make_step or make_train_step(self.model, self.tx)
+
+        window = deque(maxlen=50)
+        it = int(state.step)
+        for epoch in range(self.max_epochs):
+            for batch_np, metas in self.train_loader:
+                batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+                t0 = time.perf_counter()
+                state, metrics = step_fn(state, batch, self.rng)
+                loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"non-finite loss at iter {it}: "
+                        f"{ {k: float(v) for k, v in metrics.items()} }"
+                    )
+                window.append(time.perf_counter() - t0)
+                it += 1
+                if it % self.log_interval == 0:
+                    rec = dict(epoch=epoch, iter=it)
+                    rec.update({k: float(v) for k, v in metrics.items()})
+                    rec["it_per_s"] = len(window) / max(sum(window), 1e-9)
+                    self._log(rec)
+            save_checkpoint(ckpt_dir, state, it)
+            if self.val_loader is not None and (epoch + 1) % self.val_interval == 0:
+                results = self.validate(state)
+                self._log(dict(epoch=epoch, **results))
+                key = results.get("coco/segm_mAP", results.get("coco/bbox_mAP", 0))
+                if key is not None and key > self.best_metric:
+                    self.best_metric = key
+                    save_checkpoint(
+                        os.path.join(self.work_dir, "best"), state, it, keep=1
+                    )
+        return state
+
+    def validate(self, state: TrainState) -> Dict[str, float]:
+        assert self.val_loader is not None and self.val_dataset is not None
+        metric = CocoMetric(num_classes=self.num_classes)
+        predict = self.predict_fn or jax.jit(
+            lambda variables, batch: self.model.apply(
+                variables, batch, method="predict"
+            )
+        )
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        offset = 0
+        for batch_np, metas in self.val_loader:
+            batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+            dets, mask_probs = predict(variables, batch)
+            gts = []
+            for meta in metas:
+                if meta.get("img_id", -1) == -1:
+                    gts.append(None)
+                    continue
+                idx = self._index_for_img_id(meta["img_id"])
+                gts.append(gt_from_raw_sample(self.val_dataset.load_raw(idx)))
+            metric.process(metas, jax.device_get(dets), np.asarray(mask_probs), gts)
+            offset += len(metas)
+        return metric.compute()
+
+    def _index_for_img_id(self, img_id) -> int:
+        if not hasattr(self, "_img_id_to_idx"):
+            self._img_id_to_idx = {
+                d["img_id"]: i for i, d in enumerate(self.val_dataset.data_list)
+            }
+        return self._img_id_to_idx[img_id]

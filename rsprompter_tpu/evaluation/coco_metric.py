@@ -1,0 +1,113 @@
+"""CocoMetric: detection/segmentation mAP over padded device outputs.
+
+Behavior parity: reference ``mmdet/evaluation/metrics/coco_metric.py:23`` —
+``process`` RLE-encodes predicted masks per image (:364-367), ``compute``
+runs COCO AP (:393) and emits ``coco/bbox_mAP``, ``coco/segm_mAP(_50/_75/...)``.
+GT can come from the dataset's annotations (the GT-free path of :378-391 that
+builds COCO structures from data samples maps to passing GT dicts directly).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from rsprompter_tpu.core.registry import METRICS
+from rsprompter_tpu.evaluation.coco_eval import CocoEvaluator
+from rsprompter_tpu.evaluation.rle import encode_masks
+from rsprompter_tpu.ops.masks import finalize_masks_np
+
+
+@METRICS.register_module()
+class CocoMetric:
+    def __init__(
+        self,
+        num_classes: int,
+        metric: Sequence[str] = ("bbox", "segm"),
+        mask_thr: float = 0.5,
+        mask_mode: str = "fullframe",  # 'fullframe' (SAM heads) | 'paste' (FCN)
+    ):
+        self.num_classes = num_classes
+        self.metrics = tuple(metric)
+        self.mask_thr = mask_thr
+        self.mask_mode = mask_mode
+        self.evaluators = {
+            m: CocoEvaluator(num_classes, iou_type=m) for m in self.metrics
+        }
+
+    def process(
+        self,
+        metas: List[Dict],
+        dets,
+        mask_probs: Optional[np.ndarray] = None,
+        gts: Optional[List[Dict]] = None,
+    ) -> None:
+        """Consume one batch of padded predictions.
+
+        dets: DetResult-like with numpy-convertible (B, N, ...) fields.
+        mask_probs: (B, N, S, S) sigmoid probs (fullframe) or RoI-paste probs.
+        gts: per-image GT dicts {bboxes (ori coords), labels, masks (binary),
+             iscrowd, areas}.
+        """
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        labels = np.asarray(dets.labels)
+        valid = np.asarray(dets.valid)
+        for i, meta in enumerate(metas):
+            if meta.get("img_id", 0) == -1:
+                continue  # padded batch slot
+            keep = valid[i]
+            ws, hs = meta["scale_factor"]
+            det_boxes = boxes[i][keep] / np.array([ws, hs, ws, hs], np.float32)
+            det = dict(
+                bboxes=det_boxes,
+                scores=scores[i][keep],
+                labels=labels[i][keep],
+            )
+            if "segm" in self.metrics and mask_probs is not None:
+                ori_h, ori_w = meta["ori_shape"]
+                if self.mask_mode == "fullframe":
+                    bin_masks = finalize_masks_np(
+                        np.asarray(mask_probs[i][keep], np.float32),
+                        meta["batch_input_shape"],
+                        (ori_h, ori_w),
+                        meta["scale_factor"],
+                        thr=self.mask_thr,
+                    )
+                else:
+                    from rsprompter_tpu.models.roi_heads.mask_head import paste_masks_np
+
+                    bin_masks = paste_masks_np(
+                        np.asarray(mask_probs[i][keep], np.float32),
+                        det_boxes, ori_h, ori_w, thr=self.mask_thr,
+                    )
+                det["masks"] = encode_masks(bin_masks)
+            gt = gts[i] if gts is not None else dict(
+                bboxes=np.zeros((0, 4)), labels=np.zeros(0, np.int64)
+            )
+            if "segm" in self.metrics and "masks" in gt and not isinstance(
+                gt["masks"], list
+            ):
+                gt = dict(gt, masks=encode_masks(np.asarray(gt["masks"])))
+            for m in self.metrics:
+                self.evaluators[m].add_image(det, gt)
+
+    def compute(self) -> Dict[str, float]:
+        out = {}
+        for m in self.metrics:
+            for k, v in self.evaluators[m].summarize().items():
+                out[f"coco/{k}"] = v
+        return out
+
+
+def gt_from_raw_sample(raw: Dict) -> Dict:
+    """Dataset ``load_raw`` output -> evaluator GT dict (ori-resolution)."""
+    b = raw["gt_bboxes"]
+    return dict(
+        bboxes=b,
+        labels=raw["gt_labels"],
+        iscrowd=raw["gt_ignore_flags"],
+        areas=(b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]),
+        masks=raw["gt_masks"].astype(np.uint8),
+    )

@@ -91,6 +91,7 @@ class StandardRoIHead(nn.Module):
     mask_size: int = 28
     num_samples: int = 512
     pos_fraction: float = 0.25
+    with_mask: bool = True
     class_agnostic_mask: bool = False
     target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
     test_cfg: Any = None
@@ -100,11 +101,12 @@ class StandardRoIHead(nn.Module):
         self.bbox_head = Shared2FCBBoxHead(
             num_classes=self.num_classes, dtype=self.dtype
         )
-        self.mask_head = FCNMaskHead(
-            num_classes=self.num_classes,
-            class_agnostic=self.class_agnostic_mask,
-            dtype=self.dtype,
-        )
+        if self.with_mask:
+            self.mask_head = FCNMaskHead(
+                num_classes=self.num_classes,
+                class_agnostic=self.class_agnostic_mask,
+                dtype=self.dtype,
+            )
 
     @property
     def num_mask_slots(self) -> int:
@@ -141,6 +143,8 @@ class StandardRoIHead(nn.Module):
             self.num_classes, self.target_stds,
         )
 
+        if not self.with_mask:
+            return losses
         # mask branch on the first num_mask_slots (positives are packed first)
         m = self.num_mask_slots
         mask_rois = boxes_to_rois(sboxes[:, :m])
@@ -188,6 +192,8 @@ class StandardRoIHead(nn.Module):
             proposals, proposal_valid, img_shapes,
         )
 
+        if not self.with_mask:
+            return dets, None
         mask_rois = boxes_to_rois(dets.boxes)
         mask_feats = extract_roi_feats(
             feats[: len(self.featmap_strides)], mask_rois,

@@ -139,7 +139,7 @@ class SamMaskDecoder(nn.Module):
         image_embeddings: jax.Array,  # (B, h, w, C)
         image_positional_embeddings: jax.Array,  # (B or 1, h, w, C)
         sparse_prompt_embeddings: Optional[jax.Array],  # (B, P, T, C)
-        dense_prompt_embeddings: jax.Array,  # (B, h, w, C)
+        dense_prompt_embeddings: jax.Array,  # (B, h, w, C) or per-prompt (B, P, h, w, C)
         multimask_output: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
@@ -168,9 +168,13 @@ class SamMaskDecoder(nn.Module):
             tokens = output_tokens
         t = tokens.shape[2]
 
-        img = image_embeddings + dense_prompt_embeddings
+        if dense_prompt_embeddings.ndim == 5:
+            # per-prompt dense prompts (the decoder_plus path of the query head)
+            img = image_embeddings[:, None] + dense_prompt_embeddings
+        else:
+            img = (image_embeddings + dense_prompt_embeddings)[:, None]
         # broadcast per-prompt: (B, P, h*w, C), flatten prompts into batch
-        img = jnp.broadcast_to(img[:, None], (b, p, h, w, c)).reshape(b * p, h * w, c)
+        img = jnp.broadcast_to(img, (b, p, h, w, c)).reshape(b * p, h * w, c)
         pe = jnp.broadcast_to(
             image_positional_embeddings[:, None], (b, p, h, w, c)
         ).reshape(b * p, h * w, c)

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Evaluate a detector: ``python tools/test.py CONFIG [CKPT] [--cfg-options ...]``.
+
+CLI parity with the reference's ``tools/test.py`` (COCO bbox+segm mAP).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a detector")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None)
+    p.add_argument("--cfg-options", nargs="+", default=None)
+    p.add_argument("--oracle", action="store_true",
+                   help="SAM-det oracle mode (GT boxes as prompts)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import numpy as np
+
+    from rsprompter_tpu.apis.build import build_detector
+    from rsprompter_tpu.core.config import Config
+    from rsprompter_tpu.core.registry import DATASETS
+    from rsprompter_tpu.data import coco as _coco  # registers datasets
+    from rsprompter_tpu.data.loader import DataLoader
+    from rsprompter_tpu.data.transforms import build_test_pipeline
+    from rsprompter_tpu.engine.checkpoint import (
+        load_sam_pretrained,
+        restore_checkpoint,
+    )
+    from rsprompter_tpu.evaluation.coco_metric import CocoMetric, gt_from_raw_sample
+    from rsprompter_tpu.utils.torch_convert import load_torch_checkpoint
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(args.cfg_options)
+    crop = tuple(cfg.get("crop_size", (1024, 1024)))
+    model = build_detector(cfg.model)
+
+    ds_cfg = dict((cfg.get("test_dataloader") or cfg.val_dataloader)["dataset"])
+    ds_cfg["pipeline"] = build_test_pipeline(crop)
+    dataset = DATASETS.build(ds_cfg)
+    loader = DataLoader(
+        dataset, batch_size=cfg.get("val_dataloader", {}).get("batch_size", 2),
+        shuffle=False, drop_last=False, max_gt=cfg.get("max_gt", 100),
+        pad_shape=crop,
+    )
+
+    batch_np, _ = next(iter(loader))
+    batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, method="predict")
+
+    sam_ckpt = cfg.model.get("hf_sam_pretrain_ckpt_path") or cfg.model.get(
+        "sam_checkpoint"
+    )
+    if sam_ckpt and os.path.exists(sam_ckpt):
+        sd = load_torch_checkpoint(sam_ckpt)
+        params, _ = load_sam_pretrained(
+            variables["params"], sd, cfg.model["type"]
+        )
+        variables = {**variables, "params": params}
+    if args.checkpoint:
+        from rsprompter_tpu.engine.train_state import TrainState
+
+        # restore params-only from an orbax train-state checkpoint
+        target = dict(params=variables["params"])
+        restored = restore_checkpoint(args.checkpoint, target)
+        variables = {**variables, "params": restored["params"]}
+
+    method = "oracle_predict" if args.oracle else "predict"
+    predict = jax.jit(lambda v, b: model.apply(v, b, method=method))
+
+    metric = CocoMetric(num_classes=cfg.model.get("num_classes", 1))
+    id_to_idx = {d["img_id"]: i for i, d in enumerate(dataset.data_list)}
+    for batch_np, metas in loader:
+        batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+        dets, mask_probs = predict(variables, batch)
+        gts = [
+            gt_from_raw_sample(dataset.load_raw(id_to_idx[m["img_id"]]))
+            if m.get("img_id", -1) != -1 else None
+            for m in metas
+        ]
+        metric.process(metas, jax.device_get(dets), np.asarray(mask_probs), gts)
+    results = metric.compute()
+    for k, v in results.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Train a detector from a config file.
+
+CLI parity with the reference's ``tools/train.py``:
+  python tools/train.py CONFIG [--work-dir D] [--resume] \
+      [--cfg-options k=v ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a detector")
+    p.add_argument("config")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--amp", action="store_true", help="bf16 compute")
+    p.add_argument(
+        "--cfg-options", nargs="+", default=None,
+        help="dotted config overrides: key=value",
+    )
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from rsprompter_tpu.apis.build import build_detector, freeze_paths_for
+    from rsprompter_tpu.core.config import Config
+    from rsprompter_tpu.core.registry import DATASETS
+    from rsprompter_tpu.data import coco as _coco  # registers datasets
+    from rsprompter_tpu.data.loader import DataLoader
+    from rsprompter_tpu.data.transforms import (
+        build_test_pipeline,
+        build_train_pipeline,
+    )
+    from rsprompter_tpu.engine.checkpoint import load_sam_pretrained
+    from rsprompter_tpu.engine.optim import build_optimizer
+    from rsprompter_tpu.engine.runner import Runner
+    from rsprompter_tpu.engine.train_state import TrainState
+    from rsprompter_tpu.utils.torch_convert import load_torch_checkpoint
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(args.cfg_options)
+    if args.amp:
+        cfg.model["bf16"] = True
+    work_dir = args.work_dir or cfg.get("work_dir", "./work_dirs/default")
+
+    crop = tuple(cfg.get("crop_size", (1024, 1024)))
+    model = build_detector(cfg.model)
+
+    train_ds_cfg = dict(cfg.train_dataloader["dataset"])
+    train_ds_cfg["pipeline"] = build_train_pipeline(crop)
+    train_ds = DATASETS.build(train_ds_cfg)
+    train_loader = DataLoader(
+        train_ds,
+        batch_size=cfg.train_dataloader.get("batch_size", 2),
+        shuffle=True,
+        max_gt=cfg.get("max_gt", 100),
+        pad_shape=crop,
+    )
+    val_loader = val_ds = None
+    if cfg.get("val_dataloader"):
+        val_ds_cfg = dict(cfg.val_dataloader["dataset"])
+        val_ds_cfg["pipeline"] = build_test_pipeline(crop)
+        val_ds = DATASETS.build(val_ds_cfg)
+        val_loader = DataLoader(
+            val_ds,
+            batch_size=cfg.val_dataloader.get("batch_size", 2),
+            shuffle=False, drop_last=False,
+            max_gt=cfg.get("max_gt", 100), pad_shape=crop,
+        )
+
+    # init params
+    batch_np, _ = next(iter(train_loader))
+    batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(cfg.get("seed", 0))},
+        batch, jax.random.PRNGKey(1), method="loss",
+    )
+    params = variables["params"]
+
+    ckpt_path = cfg.model.get("hf_sam_pretrain_ckpt_path") or cfg.model.get(
+        "sam_checkpoint"
+    )
+    if ckpt_path and os.path.exists(ckpt_path):
+        sd = load_torch_checkpoint(ckpt_path)
+        params, report = load_sam_pretrained(params, sd, cfg.model["type"])
+        print(f"loaded SAM pretrain from {ckpt_path}: {report}")
+    elif ckpt_path:
+        print(f"WARNING: SAM checkpoint {ckpt_path} not found; random init")
+
+    max_epochs = cfg.get("max_epochs", 12)
+    steps_per_epoch = max(len(train_loader), 1)
+    freeze, override = freeze_paths_for(cfg.model)
+    tx, _ = build_optimizer(
+        params,
+        base_lr=cfg.get("base_lr", 1e-4),
+        weight_decay=cfg.get("weight_decay", 0.05),
+        total_steps=max_epochs * steps_per_epoch,
+        warmup_steps=cfg.get("warmup_iters", 50),
+        freeze_paths=freeze,
+        train_paths_override=override,
+    )
+    state = TrainState.create(params, variables.get("batch_stats"), tx)
+
+    runner = Runner(
+        model, tx, train_loader, val_loader, val_ds,
+        work_dir=work_dir,
+        max_epochs=max_epochs,
+        val_interval=cfg.get("val_interval", 3),
+        num_classes=cfg.model.get("num_classes", 1),
+    )
+    runner.train(state, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()
