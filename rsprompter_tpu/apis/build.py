@@ -44,6 +44,7 @@ def build_detector(model_cfg: Dict[str, Any]):
     cfg = dict(model_cfg)
     mtype = cfg.pop("type")
     arch = _arch_from_cfg(cfg)
+    peft = cfg.get("peft_config")
     common = dict(
         arch=arch,
         image_size=cfg.get("image_size", 1024),
@@ -53,9 +54,13 @@ def build_detector(model_cfg: Dict[str, Any]):
         dtype=jnp.bfloat16 if cfg.get("bf16", False) else None,
         attn_impl=cfg.get("attn_impl", "xla"),
     )
+    lora = dict(
+        lora_rank=(peft or {}).get("r", 0),
+        lora_alpha=(peft or {}).get("lora_alpha", 32.0),
+    )
     if mtype == "RSPrompterAnchor":
         return RSPrompterAnchor(
-            **common,
+            **common, **lora,
             prompt_shape=tuple(cfg.get("prompt_shape", (100, 5))),
             select_layers=tuple(
                 cfg.get("select_layers", _ARCH_SELECT_LAYERS[arch])
@@ -71,7 +76,7 @@ def build_detector(model_cfg: Dict[str, Any]):
         )
     if mtype == "SAMSegMaskRCNN":
         return SAMSegMaskRCNN(
-            **common,
+            **common, **lora,
             select_layers=tuple(
                 cfg.get("select_layers", _ARCH_SELECT_LAYERS[arch])
             ),
@@ -91,7 +96,7 @@ def build_detector(model_cfg: Dict[str, Any]):
         from rsprompter_tpu.models.detectors.rsprompter_query import RSPrompterQuery
 
         return RSPrompterQuery(
-            **common,
+            **common, **lora,
             prompt_shape=tuple(cfg.get("prompt_shape", (100, 5))),
             select_layers=tuple(
                 cfg.get("select_layers", _ARCH_SELECT_LAYERS[arch])

@@ -50,6 +50,8 @@ class RSPrompterAnchor(nn.Module):
     multimask_output: bool = False
     decoder_freeze: bool = True
     freeze_backbone: bool = True
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
     mask_loss_resolution: str = "full"
     train_cfg: Any = None
     test_cfg: Any = None
@@ -63,7 +65,9 @@ class RSPrompterAnchor(nn.Module):
             vcfg = sam_config(self.arch, image_size=self.image_size).vision_config
         full_cfg = sam_config("base") if self.vision_config is not None else sam_config(self.arch)
         self.backbone = SamVisionEncoder(
-            config=vcfg, attn_impl=self.attn_impl, dtype=self.dtype
+            config=vcfg, attn_impl=self.attn_impl,
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            dtype=self.dtype,
         )
         self.shared_image_embedding = SamPositionalEmbedding(
             num_pos_feats=vcfg.output_channels // 2,

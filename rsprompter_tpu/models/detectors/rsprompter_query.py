@@ -44,6 +44,8 @@ class RSPrompterQuery(nn.Module):
     with_sincos: bool = True
     decoder_freeze: bool = True
     freeze_backbone: bool = True
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
     num_decoder_layers: int = 6
     sam_prompting: bool = True  # False -> SAMSegMask2Former behavior
     max_per_image: int = 100
@@ -58,7 +60,9 @@ class RSPrompterQuery(nn.Module):
         else:
             vcfg = sam_config(self.arch, image_size=self.image_size).vision_config
         self.backbone = SamVisionEncoder(
-            config=vcfg, attn_impl=self.attn_impl, dtype=self.dtype
+            config=vcfg, attn_impl=self.attn_impl,
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            dtype=self.dtype,
         )
         if self.sam_prompting:
             self.shared_image_embedding = SamPositionalEmbedding(

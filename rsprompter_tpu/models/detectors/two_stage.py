@@ -46,6 +46,8 @@ class SAMSegMaskRCNN(nn.Module):
     num_samples: int = 512
     pos_fraction: float = 0.25
     freeze_backbone: bool = True
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
     train_cfg: Any = None
     test_cfg: Any = None
     attn_impl: str = "xla"
@@ -57,7 +59,9 @@ class SAMSegMaskRCNN(nn.Module):
         else:
             vcfg = sam_config(self.arch, image_size=self.image_size).vision_config
         self.backbone = SamVisionEncoder(
-            config=vcfg, attn_impl=self.attn_impl, dtype=self.dtype
+            config=vcfg, attn_impl=self.attn_impl,
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            dtype=self.dtype,
         )
         self.neck = RSFPN(
             feature_aggregator=RSFeatureAggregator(

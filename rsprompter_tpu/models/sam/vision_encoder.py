@@ -74,7 +74,14 @@ class SamPatchEmbeddings(nn.Module):
 
 
 class SamVisionAttention(nn.Module):
-    """Windowed/global MHA with decomposed relative position bias."""
+    """Windowed/global MHA with decomposed relative position bias.
+
+    ``lora_rank > 0`` adds a low-rank adapter on the qkv projection — the
+    TPU-native equivalent of the reference's peft LoRA
+    (``mmdet/rsprompter/models.py:785-799``: r=16, target ["qkv"], alpha=32).
+    Adapter params are named ``qkv_lora_a/b`` so the optimizer's
+    ``train_paths_override=['lora_']`` trains them inside a frozen backbone.
+    """
 
     hidden_size: int
     num_attention_heads: int
@@ -83,6 +90,8 @@ class SamVisionAttention(nn.Module):
     qkv_bias: bool = True
     global_attn: bool = False
     attn_impl: str = "xla"
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -93,6 +102,18 @@ class SamVisionAttention(nn.Module):
         qkv = nn.Dense(
             3 * self.hidden_size, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
         )(x)
+        if self.lora_rank > 0:
+            lora_a = self.param(
+                "qkv_lora_a",
+                nn.initializers.normal(1.0 / self.lora_rank),
+                (c, self.lora_rank),
+            )
+            lora_b = self.param(
+                "qkv_lora_b", nn.initializers.zeros,
+                (self.lora_rank, 3 * self.hidden_size),
+            )
+            scale = self.lora_alpha / self.lora_rank
+            qkv = qkv + ((x @ lora_a) @ lora_b) * scale
         qkv = qkv.reshape(b, h * w, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nh, HW, hd)
 
@@ -117,6 +138,8 @@ class SamVisionLayer(nn.Module):
     config: SamVisionConfig
     window_size: int
     attn_impl: str = "xla"
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -140,6 +163,8 @@ class SamVisionLayer(nn.Module):
             qkv_bias=cfg.qkv_bias,
             global_attn=self.window_size == 0,
             attn_impl=self.attn_impl,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
             dtype=self.dtype,
             name="attn",
         )(x)
@@ -185,6 +210,8 @@ class SamVisionEncoder(nn.Module):
 
     config: SamVisionConfig
     attn_impl: str = "xla"
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -218,6 +245,8 @@ class SamVisionEncoder(nn.Module):
                 config=cfg,
                 window_size=window,
                 attn_impl=self.attn_impl,
+                lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x)
