@@ -30,7 +30,8 @@ def main():
     image_size = 1024
     cfg = sam_config("base", image_size=image_size).vision_config
     platform = jax.devices()[0].platform
-    attn_impl = "xla"
+    # Pallas flash attention for the 4 global layers on TPU; XLA elsewhere
+    attn_impl = "xla" if platform == "cpu" else "flash"
     model = SamVisionEncoder(config=cfg, attn_impl=attn_impl, dtype=jnp.bfloat16)
 
     x = jnp.zeros((batch, image_size, image_size, 3), jnp.bfloat16)

@@ -1,0 +1,190 @@
+"""DetInferencer: config/checkpoint -> callable image -> predictions.
+
+Behavior parity: reference ``mmdet/apis/det_inferencer.py:45`` (pipeline init
+:159, preprocess :236, __call__ :298, visualize :419, postprocess :498) and
+``init_detector``/``inference_detector`` (``mmdet/apis/inference.py:26``):
+accepts image paths/arrays, returns per-image predictions (boxes xyxy in
+original coords, scores, labels, binary masks), optionally draws and saves
+visualizations and a JSON dump.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import numpy as np
+
+from rsprompter_tpu.apis.build import build_detector
+from rsprompter_tpu.core.config import Config
+from rsprompter_tpu.data.transforms import build_test_pipeline, collate_batch
+from rsprompter_tpu.ops.masks import finalize_masks_np
+
+
+class DetInferencer:
+    def __init__(
+        self,
+        model: Union[str, Config, Dict],
+        weights: Optional[str] = None,
+        batch_size: int = 1,
+    ):
+        if isinstance(model, str):
+            cfg = Config.fromfile(model)
+        elif isinstance(model, Config):
+            cfg = model
+        else:
+            cfg = Config.fromdict({"model": model})
+        self.cfg = cfg
+        self.crop_size = tuple(cfg.get("crop_size", (1024, 1024)))
+        self.batch_size = batch_size
+        self.model = build_detector(cfg.model)
+        self.pipeline = build_test_pipeline(self.crop_size)
+        self.num_classes = cfg.model.get("num_classes", 1)
+        self._variables = None
+        self._predict = None
+        self.weights = weights
+        self.sam_ckpt = cfg.model.get("hf_sam_pretrain_ckpt_path") or cfg.model.get(
+            "sam_checkpoint"
+        )
+
+    # -- lazy init (needs an example batch for shapes) -----------------------
+    def _ensure_initialized(self, batch):
+        if self._variables is not None:
+            return
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, method="predict"
+        )
+        params = variables["params"]
+        if self.sam_ckpt and os.path.exists(self.sam_ckpt):
+            from rsprompter_tpu.engine.checkpoint import load_sam_pretrained
+            from rsprompter_tpu.utils.torch_convert import load_torch_checkpoint
+
+            sd = load_torch_checkpoint(self.sam_ckpt)
+            params, _ = load_sam_pretrained(params, sd, self.cfg.model["type"])
+        if self.weights:
+            from rsprompter_tpu.engine.checkpoint import restore_checkpoint
+
+            restored = restore_checkpoint(self.weights, dict(params=params))
+            params = restored["params"]
+        self._variables = {**variables, "params": params}
+        self._predict = jax.jit(
+            lambda v, b: self.model.apply(v, b, method="predict")
+        )
+
+    def _load_image(self, x) -> np.ndarray:
+        if isinstance(x, str):
+            import cv2
+
+            img = cv2.imread(x, cv2.IMREAD_COLOR)
+            if img is None:
+                raise FileNotFoundError(x)
+            return img.astype(np.float32)
+        return np.asarray(x, np.float32)
+
+    def __call__(
+        self,
+        inputs: Union[str, np.ndarray, Sequence],
+        out_dir: Optional[str] = None,
+        return_masks: bool = True,
+        score_thr: float = 0.0,
+    ) -> Dict[str, Any]:
+        if isinstance(inputs, (str, np.ndarray)):
+            inputs = [inputs]
+        predictions = []
+        for start in range(0, len(inputs), self.batch_size):
+            chunk = inputs[start : start + self.batch_size]
+            samples = []
+            for item in chunk:
+                img = self._load_image(item)
+                h, w = img.shape[:2]
+                s = dict(
+                    img=img, img_id=start, img_path=item if isinstance(item, str) else "",
+                    ori_shape=(h, w), img_shape=(h, w), scale_factor=(1.0, 1.0),
+                    gt_bboxes=np.zeros((0, 4), np.float32),
+                    gt_labels=np.zeros(0, np.int64),
+                    gt_ignore_flags=np.zeros(0, bool),
+                    gt_masks=np.zeros((0, h, w), np.uint8),
+                )
+                for t in self.pipeline:
+                    s = t(s)
+                samples.append(s)
+            batch_np, metas = collate_batch(
+                samples, batch_size=self.batch_size, max_gt=1,
+                pad_shape=self.crop_size,
+            )
+            batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+            self._ensure_initialized(batch)
+            dets, mask_probs = self._predict(self._variables, batch)
+            dets = jax.device_get(dets)
+            mask_probs = np.asarray(mask_probs)
+            for i, meta in enumerate(metas[: len(chunk)]):
+                keep = np.asarray(dets.valid[i]) & (
+                    np.asarray(dets.scores[i]) > score_thr
+                )
+                ws, hs = meta["scale_factor"]
+                pred = dict(
+                    bboxes=(
+                        np.asarray(dets.boxes[i])[keep]
+                        / np.array([ws, hs, ws, hs], np.float32)
+                    ).tolist(),
+                    scores=np.asarray(dets.scores[i])[keep].tolist(),
+                    labels=np.asarray(dets.labels[i])[keep].tolist(),
+                )
+                if return_masks and mask_probs is not None:
+                    masks = finalize_masks_np(
+                        mask_probs[i][keep], meta["batch_input_shape"],
+                        meta["ori_shape"], meta["scale_factor"],
+                    )
+                    pred["masks"] = masks
+                predictions.append(pred)
+                if out_dir:
+                    os.makedirs(out_dir, exist_ok=True)
+                    img = self._load_image(chunk[i])
+                    vis = draw_predictions(img, pred)
+                    import cv2
+
+                    name = (
+                        os.path.basename(chunk[i])
+                        if isinstance(chunk[i], str)
+                        else f"img_{start + i}.jpg"
+                    )
+                    cv2.imwrite(os.path.join(out_dir, name), vis)
+        result = {"predictions": predictions}
+        if out_dir:
+            dumpable = [
+                {k: v for k, v in p.items() if k != "masks"} for p in predictions
+            ]
+            with open(os.path.join(out_dir, "predictions.json"), "w") as f:
+                json.dump(dumpable, f)
+        return result
+
+
+_PALETTE = [
+    (220, 20, 60), (0, 255, 0), (0, 0, 255), (255, 255, 0), (255, 0, 255),
+    (0, 255, 255), (119, 11, 32), (0, 60, 100), (0, 80, 100), (0, 0, 230),
+]
+
+
+def draw_predictions(img: np.ndarray, pred: Dict[str, Any]) -> np.ndarray:
+    """Draw boxes/masks/scores (the DetLocalVisualizer analogue,
+    reference ``mmdet/visualization/local_visualizer.py:25``)."""
+    import cv2
+
+    vis = img.astype(np.uint8).copy()
+    masks = pred.get("masks")
+    for i, (box, score, label) in enumerate(
+        zip(pred["bboxes"], pred["scores"], pred["labels"])
+    ):
+        color = _PALETTE[int(label) % len(_PALETTE)]
+        x1, y1, x2, y2 = [int(v) for v in box]
+        cv2.rectangle(vis, (x1, y1), (x2, y2), color, 2)
+        cv2.putText(
+            vis, f"{int(label)}:{score:.2f}", (x1, max(y1 - 4, 10)),
+            cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1,
+        )
+        if masks is not None and i < len(masks):
+            m = masks[i].astype(bool)
+            vis[m] = (0.5 * vis[m] + 0.5 * np.asarray(color)).astype(np.uint8)
+    return vis

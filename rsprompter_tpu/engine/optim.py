@@ -94,8 +94,14 @@ def build_optimizer(
     train_paths_override: Sequence[str] = (),
     grad_clip: Optional[float] = None,
     schedule: Optional[optax.Schedule] = None,
+    accumulate_steps: int = 1,
 ) -> Tuple[optax.GradientTransformation, Any]:
-    """Returns (tx, opt_state_labels) with frozen params masked out."""
+    """Returns (tx, opt_state_labels) with frozen params masked out.
+
+    ``accumulate_steps > 1`` wraps the transform in ``optax.MultiSteps`` —
+    gradient accumulation for memory-bound configs (the reference relies on
+    small per-GPU batches + DDP instead).
+    """
     sched = schedule or warmup_cosine_schedule(base_lr, total_steps, warmup_steps)
     chain = []
     if grad_clip:
@@ -110,4 +116,6 @@ def build_optimizer(
     tx = optax.multi_transform(
         {TRAIN: train_tx, FROZEN: optax.set_to_zero()}, label_fn
     )
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx, label_fn(params)
