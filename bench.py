@@ -43,14 +43,22 @@ def main():
     def forward(params, x):
         return model.apply(params, x, output_hidden_states=False)
 
-    # warmup / compile
-    forward(params, x).block_until_ready()
+    # warmup / compile (force completion with a host transfer — on the axon
+    # remote platform block_until_ready returns before execution finishes)
+    import numpy as np
 
+    out = forward(params, x)
+    _ = np.asarray(out[0, 0, 0, :1])
+
+    # chained timing: each forward consumes a value derived from the previous
+    # output, serializing execution; one tiny transfer at the end
     iters = 10
+    xx = x
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(params, x)
-    out.block_until_ready()
+        out = forward(params, xx)
+        xx = x + (out.mean() * 0).astype(x.dtype)
+    _ = np.asarray(xx[0, 0, 0])
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

@@ -77,8 +77,8 @@ def _flash_fwd(q, k, v, rel_h, rel_w, scale, hw, block_q):
     # iff col(k) == j (folded into the graph as constants)
     rows = jnp.repeat(jnp.arange(h), w)
     cols = jnp.tile(jnp.arange(w), h)
-    eh = (rows[None, :] == jnp.arange(h)[:, None]).astype(jnp.float32)
-    ew = (cols[None, :] == jnp.arange(w)[:, None]).astype(jnp.float32)
+    eh = (rows[None, :] == jnp.arange(h)[:, None]).astype(q.dtype)
+    ew = (cols[None, :] == jnp.arange(w)[:, None]).astype(q.dtype)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bn, s, d), q.dtype),
@@ -154,7 +154,7 @@ def flash_attention_rel_pos(
     hw: Tuple[int, int],
     rel_pos_h: Optional[jax.Array] = None,
     rel_pos_w: Optional[jax.Array] = None,
-    block_q: int = 512,
+    block_q: int = 256,
 ) -> jax.Array:
     """Drop-in for ``attention_rel_pos`` (impl='flash')."""
     h, w = hw
@@ -170,13 +170,13 @@ def flash_attention_rel_pos(
         q_grid = qf.reshape(b * n, h, w, d)
         rel_h = jnp.einsum(
             "bhwc,hkc->bhwk", q_grid, rh_tab, preferred_element_type=jnp.float32
-        ).reshape(b * n, s, h)
+        ).astype(q.dtype).reshape(b * n, s, h)
         rel_w = jnp.einsum(
             "bhwc,wkc->bhwk", q_grid, rw_tab, preferred_element_type=jnp.float32
-        ).reshape(b * n, s, w)
+        ).astype(q.dtype).reshape(b * n, s, w)
     else:
-        rel_h = jnp.zeros((b * n, s, h), jnp.float32)
-        rel_w = jnp.zeros((b * n, s, w), jnp.float32)
+        rel_h = jnp.zeros((b * n, s, h), q.dtype)
+        rel_w = jnp.zeros((b * n, s, w), q.dtype)
     # pick a block that divides S
     bq = block_q
     while s % bq:
