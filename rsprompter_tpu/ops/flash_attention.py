@@ -177,8 +177,8 @@ def flash_attention_rel_pos(
     else:
         rel_h = jnp.zeros((b * n, s, h), q.dtype)
         rel_w = jnp.zeros((b * n, s, w), q.dtype)
-    # pick a block that divides S
-    bq = block_q
+    # pick a block that divides S; fp32 needs smaller tiles to fit VMEM
+    bq = block_q if q.dtype.itemsize <= 2 else min(block_q, 128)
     while s % bq:
         bq //= 2
     out = _flash_core(qf, kf, vf, rel_h, rel_w, scale, (h, w), bq)
