@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from rsprompter_tpu.core.registry import MODELS
@@ -52,7 +53,10 @@ def build_detector(model_cfg: Dict[str, Any]):
         train_cfg=cfg.get("train_cfg"),
         test_cfg=cfg.get("test_cfg"),
         dtype=jnp.bfloat16 if cfg.get("bf16", False) else None,
-        attn_impl=cfg.get("attn_impl", "xla"),
+        # Pallas flash attention by default on TPU; XLA reference path on CPU
+        attn_impl=cfg.get(
+            "attn_impl", "flash" if jax.default_backend() == "tpu" else "xla"
+        ),
     )
     lora = dict(
         lora_rank=(peft or {}).get("r", 0),
@@ -66,6 +70,7 @@ def build_detector(model_cfg: Dict[str, Any]):
                 cfg.get("select_layers", _ARCH_SELECT_LAYERS[arch])
             ),
             aggregator_hidden=cfg.get("aggregator_hidden", 32),
+            aggregator_type=cfg.get("aggregator_type", "multi"),
             with_sincos=cfg.get("with_sincos", True),
             multimask_output=cfg.get("multimask_output", False),
             decoder_freeze=cfg.get("decoder_freeze", True),
@@ -81,6 +86,7 @@ def build_detector(model_cfg: Dict[str, Any]):
                 cfg.get("select_layers", _ARCH_SELECT_LAYERS[arch])
             ),
             aggregator_hidden=cfg.get("aggregator_hidden", 32),
+            aggregator_type=cfg.get("aggregator_type", "multi"),
             freeze_backbone=cfg.get("peft_config") is None,
             num_samples=cfg.get("num_samples", 512),
             pos_fraction=cfg.get("pos_fraction", 0.25),
@@ -102,6 +108,7 @@ def build_detector(model_cfg: Dict[str, Any]):
                 cfg.get("select_layers", _ARCH_SELECT_LAYERS[arch])
             ),
             aggregator_hidden=cfg.get("aggregator_hidden", 32),
+            aggregator_type=cfg.get("aggregator_type", "multi"),
             with_sincos=cfg.get("with_sincos", True),
             decoder_freeze=cfg.get("decoder_freeze", True),
             freeze_backbone=cfg.get("peft_config") is None,

@@ -22,7 +22,12 @@ from rsprompter_tpu.models.dense_heads.rpn_head import (
     rpn_loss,
     rpn_predict,
 )
-from rsprompter_tpu.models.necks.rsfpn import RSFPN, RSFeatureAggregator, RSSimpleFPN
+from rsprompter_tpu.models.necks.rsfpn import (
+    RSFPN,
+    PseudoFeatureAggregator,
+    RSFeatureAggregator,
+    RSSimpleFPN,
+)
 from rsprompter_tpu.models.roi_heads.prompt_roi_head import RSPrompterAnchorRoIPromptHead
 from rsprompter_tpu.models.sam.configs import SamVisionConfig, sam_config
 from rsprompter_tpu.models.sam.positional import (
@@ -39,6 +44,7 @@ class RSPrompterAnchor(nn.Module):
     num_classes: int = 1
     prompt_shape: Tuple[int, int] = (100, 5)  # (pointsets, points per set)
     select_layers: Tuple[int, ...] = tuple(range(1, 13, 2))
+    aggregator_type: str = "multi"  # 'multi' (RSFeatureAggregator) | 'pseudo'
     aggregator_hidden: int = 32
     rpn_scales: Tuple[float, ...] = (4, 8)
     rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
@@ -80,15 +86,23 @@ class RSPrompterAnchor(nn.Module):
             decoder_cfg = dataclasses.replace(
                 decoder_cfg, hidden_size=vcfg.output_channels
             )
-        self.neck = RSFPN(
-            feature_aggregator=RSFeatureAggregator(
+        if self.aggregator_type == "pseudo":
+            aggregator = PseudoFeatureAggregator(
+                hidden_channels=max(self.aggregator_hidden, 64),
+                dtype=self.dtype,
+                name="neck_feature_aggregator",
+            )
+        else:
+            aggregator = RSFeatureAggregator(
                 in_channels=self.arch,
                 hidden_channels=self.aggregator_hidden,
                 select_layers=self.select_layers,
                 num_layers=vcfg.num_hidden_layers,
                 dtype=self.dtype,
                 name="neck_feature_aggregator",
-            ),
+            )
+        self.neck = RSFPN(
+            feature_aggregator=aggregator,
             feature_spliter=RSSimpleFPN(
                 backbone_channel=256, dtype=self.dtype, name="neck_feature_spliter"
             ),
@@ -125,7 +139,10 @@ class RSPrompterAnchor(nn.Module):
         image_pe = image_wide_positional_embeddings(
             self.shared_image_embedding, image_embeddings.shape[1]
         )  # (1, s, s, C)
-        feats = self.neck(hidden_states, train=train)
+        neck_in = (
+            (image_embeddings,) if self.aggregator_type == "pseudo" else hidden_states
+        )
+        feats = self.neck(neck_in, train=train)
         return feats, image_embeddings, image_pe
 
     def _rpn_cfgs(self):

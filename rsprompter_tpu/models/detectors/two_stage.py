@@ -25,7 +25,12 @@ from rsprompter_tpu.models.dense_heads.rpn_head import (
     rpn_loss,
     rpn_predict,
 )
-from rsprompter_tpu.models.necks.rsfpn import RSFPN, RSFeatureAggregator, RSSimpleFPN
+from rsprompter_tpu.models.necks.rsfpn import (
+    RSFPN,
+    PseudoFeatureAggregator,
+    RSFeatureAggregator,
+    RSSimpleFPN,
+)
 from rsprompter_tpu.models.roi_heads.standard_roi_head import StandardRoIHead
 from rsprompter_tpu.models.sam.configs import SamVisionConfig, sam_config
 from rsprompter_tpu.models.sam.vision_encoder import SamVisionEncoder
@@ -39,6 +44,7 @@ class SAMSegMaskRCNN(nn.Module):
     image_size: int = 1024
     num_classes: int = 1
     select_layers: Tuple[int, ...] = tuple(range(1, 13, 2))
+    aggregator_type: str = "multi"  # 'multi' (RSFeatureAggregator) | 'pseudo'
     aggregator_hidden: int = 32
     rpn_scales: Tuple[float, ...] = (8,)
     rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
@@ -63,15 +69,23 @@ class SAMSegMaskRCNN(nn.Module):
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
             dtype=self.dtype,
         )
-        self.neck = RSFPN(
-            feature_aggregator=RSFeatureAggregator(
+        if self.aggregator_type == "pseudo":
+            aggregator = PseudoFeatureAggregator(
+                hidden_channels=max(self.aggregator_hidden, 64),
+                dtype=self.dtype,
+                name="neck_feature_aggregator",
+            )
+        else:
+            aggregator = RSFeatureAggregator(
                 in_channels=self.arch,
                 hidden_channels=self.aggregator_hidden,
                 select_layers=self.select_layers,
                 num_layers=vcfg.num_hidden_layers,
                 dtype=self.dtype,
                 name="neck_feature_aggregator",
-            ),
+            )
+        self.neck = RSFPN(
+            feature_aggregator=aggregator,
             feature_spliter=RSSimpleFPN(dtype=self.dtype, name="neck_feature_spliter"),
         )
         self.anchor_generator = build_rpn_anchor_generator(
@@ -90,12 +104,16 @@ class SAMSegMaskRCNN(nn.Module):
         )
 
     def extract_feat(self, images: jax.Array, train: bool = False):
-        _, hidden_states = self.backbone(images)
+        image_embeddings, hidden_states = self.backbone(images)
         if self.freeze_backbone:
+            image_embeddings = jax.lax.stop_gradient(image_embeddings)
             hidden_states = jax.tree_util.tree_map(
                 jax.lax.stop_gradient, hidden_states
             )
-        return self.neck(hidden_states, train=train)
+        neck_in = (
+            (image_embeddings,) if self.aggregator_type == "pseudo" else hidden_states
+        )
+        return self.neck(neck_in, train=train)
 
     def _rpn_cfgs(self):
         tc = dict(self.train_cfg or {})

@@ -126,8 +126,9 @@ class SamVisionAttention(nn.Module):
                 "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, hd)
             )
 
-        impl = self.attn_impl if self.global_attn else "xla"
-        out = attention_rel_pos(q, k, v, (h, w), rel_pos_h, rel_pos_w, impl=impl)
+        out = attention_rel_pos(
+            q, k, v, (h, w), rel_pos_h, rel_pos_w, impl=self.attn_impl
+        )
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.hidden_size)
         return nn.Dense(self.hidden_size, dtype=self.dtype, name="proj")(out)
 

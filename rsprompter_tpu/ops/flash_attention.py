@@ -179,7 +179,10 @@ def flash_attention_rel_pos(
         rel_w = jnp.zeros((b * n, s, w), q.dtype)
     # pick a block that divides S; fp32 needs smaller tiles to fit VMEM
     bq = block_q if q.dtype.itemsize <= 2 else min(block_q, 128)
-    while s % bq:
-        bq //= 2
+    if s <= bq:
+        bq = s  # small (window) sequences: one block, Mosaic pads internally
+    else:
+        while s % bq:
+            bq //= 2
     out = _flash_core(qf, kf, vf, rel_h, rel_w, scale, (h, w), bq)
     return out.reshape(b, n, s, d)
