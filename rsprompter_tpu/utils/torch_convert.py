@@ -169,6 +169,43 @@ def _to_numpy(v) -> np.ndarray:
     return np.asarray(v)
 
 
+def flax_to_torch(
+    flax_params: Dict[str, Any],
+    prefix: str = "",
+    flatten_linears: Optional[Dict[str, Tuple[int, int, int]]] = None,
+) -> Dict[str, np.ndarray]:
+    """Inverse of ``torch_to_flax``: export a flax param tree as a torch-layout
+    state_dict (for interop / roundtrip validation)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+            return
+        key = prefix + _flax_path_to_torch_key(path)
+        arr = np.asarray(node)
+        if path[-1] == "kernel":
+            if arr.ndim == 2:
+                arr = arr.T
+                for hint, (c, h, w) in (flatten_linears or {}).items():
+                    if any(hint == p for p in path):
+                        o = arr.shape[0]
+                        arr = (
+                            arr.reshape(o, h, w, c).transpose(0, 3, 1, 2).reshape(o, -1)
+                        )
+                        break
+            elif arr.ndim == 4:
+                if any(h in p for p in path for h in _TRANSPOSE_CONV_HINTS):
+                    arr = arr.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1]
+                else:
+                    arr = arr.transpose(3, 2, 0, 1)
+        out[key] = np.ascontiguousarray(arr)
+
+    walk(flax_params, ())
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a ``.bin``/``.pth`` (torch pickle) or ``.safetensors`` file into numpy."""
     if path.endswith(".safetensors"):
