@@ -57,13 +57,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, o_ref, *, s
     s = s + bias
 
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / l
-    o = jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+    p = jnp.exp(s - m).astype(v.dtype)
+    # normalize AFTER the PV matmul: divides (block_q, d) instead of
+    # (block_q, S) — saves a full scores-sized VPU pass
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 def _flash_fwd(q, k, v, rel_h, rel_w, scale, hw, block_q):
