@@ -5,10 +5,10 @@ Behavior parity: reference
 FPN level selection by ``floor(log2(sqrt(wh)/56))`` then RoIAlign on that
 level.
 
-TPU re-design: instead of scattering RoIs to their levels (dynamic counts),
-RoIAlign runs on *every* level for *all* RoIs and a one-hot level mask selects
-the result. 4x the gather FLOPs of the scatter formulation, but fully static
-and negligible next to the ViT encoder; no host sync, no recompile.
+TPU re-design: the pyramid is flattened into one (B, sum HW, C) tensor and
+each RoI's bilinear sample indices are offset into its assigned level's slab
+— the whole multi-level extraction is a single static gather pass (no
+per-level scatter, no dynamic counts, no recompiles).
 """
 
 from __future__ import annotations
@@ -17,6 +17,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rsprompter_tpu.ops.roi_align import roi_align
 
@@ -38,15 +39,72 @@ def extract_roi_feats(
     finest_scale: int = 56,
     sampling_ratio: int = 2,
 ) -> jax.Array:
-    """Returns (R, out_h, out_w, C)."""
+    """Returns (R, out_h, out_w, C) — single fused gather over the pyramid.
+
+    All levels are flattened into one (B, sum HW, C) tensor; each RoI's sample
+    indices are offset into its assigned level's slab, so the whole extraction
+    is ONE bilinear gather pass instead of ``num_levels`` full passes (4x
+    fewer gathers than the mask-and-sum formulation).
+    """
     num_levels = len(featmap_strides)
     target_lvl = map_roi_levels(rois, num_levels, finest_scale)
-    out = None
-    for lvl, (feat, stride) in enumerate(zip(feats, featmap_strides)):
-        feats_lvl = roi_align(
-            feat, rois, out_size, spatial_scale=1.0 / stride,
-            sampling_ratio=sampling_ratio,
-        )
-        mask = (target_lvl == lvl).astype(feats_lvl.dtype)[:, None, None, None]
-        out = feats_lvl * mask if out is None else out + feats_lvl * mask
-    return out
+    b, _, _, c = feats[0].shape
+    r = rois.shape[0]
+    out_h, out_w = out_size
+    s = max(int(sampling_ratio), 1)
+
+    flat = jnp.concatenate([f.reshape(b, -1, c) for f in feats], axis=1)
+    level_sizes = [(f.shape[1], f.shape[2]) for f in feats]
+    starts = np.cumsum([0] + [h * w for h, w in level_sizes])[:-1]
+    lvl_h = jnp.asarray([h for h, _ in level_sizes], jnp.float32)[target_lvl]
+    lvl_w = jnp.asarray([w for _, w in level_sizes], jnp.float32)[target_lvl]
+    lvl_start = jnp.asarray(starts, jnp.int32)[target_lvl]
+    scale = jnp.asarray(
+        [1.0 / st for st in featmap_strides], jnp.float32
+    )[target_lvl]
+
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    x1 = rois[:, 1] * scale - 0.5
+    y1 = rois[:, 2] * scale - 0.5
+    x2 = rois[:, 3] * scale - 0.5
+    y2 = rois[:, 4] * scale - 0.5
+    bin_h = (y2 - y1) / out_h
+    bin_w = (x2 - x1) / out_w
+
+    iy = (jnp.arange(out_h)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
+    ix = (jnp.arange(out_w)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
+    ys = y1[:, None] + bin_h[:, None] * iy[None, :]  # (R, out_h*s)
+    xs = x1[:, None] + bin_w[:, None] * ix[None, :]
+    yy = jnp.repeat(ys, out_w * s, axis=1)  # (R, P)
+    xx = jnp.tile(xs, (1, out_h * s))
+
+    h_r = lvl_h[:, None]
+    w_r = lvl_w[:, None]
+    inside = (yy > -1.0) & (yy < h_r) & (xx > -1.0) & (xx < w_r)
+    yyc = jnp.clip(yy, 0.0, None)
+    xxc = jnp.clip(xx, 0.0, None)
+    y_low = jnp.minimum(jnp.floor(yyc), h_r - 1)
+    x_low = jnp.minimum(jnp.floor(xxc), w_r - 1)
+    y_high = jnp.minimum(y_low + 1, h_r - 1)
+    x_high = jnp.minimum(x_low + 1, w_r - 1)
+    ly = jnp.clip(yyc - y_low, 0.0, 1.0)
+    lx = jnp.clip(xxc - x_low, 0.0, 1.0)
+    hy, hx = 1.0 - ly, 1.0 - lx
+
+    base = lvl_start[:, None]
+    w_i = w_r.astype(jnp.int32)
+
+    def gather(yi, xi):
+        idx = base + yi.astype(jnp.int32) * w_i + xi.astype(jnp.int32)
+        return flat[batch_idx[:, None], idx]  # (R, P, C)
+
+    dt = flat.dtype
+    vals = (
+        gather(y_low, x_low) * (hy * hx)[..., None].astype(dt)
+        + gather(y_low, x_high) * (hy * lx)[..., None].astype(dt)
+        + gather(y_high, x_low) * (ly * hx)[..., None].astype(dt)
+        + gather(y_high, x_high) * (ly * lx)[..., None].astype(dt)
+    )
+    vals = jnp.where(inside[..., None], vals, 0)
+    vals = vals.reshape(r, out_h, s, out_w, s, c)
+    return vals.astype(jnp.float32).mean(axis=(2, 4)).astype(dt)

@@ -48,16 +48,29 @@ def nms_padded(
     sscores = scores[order]
     iou = bbox_overlaps(sboxes, sboxes)
 
-    # suppressed[i] = True once a higher-scoring kept box overlaps > thr
-    invalid0 = ~jnp.isfinite(sscores)
+    # Greedy NMS as a Jacobi fixpoint instead of an N-step sequential loop:
+    # kept[i] = no kept j < i with iou > thr. Iterating the whole keep vector
+    # converges to the unique greedy solution in suppression-chain-depth
+    # passes (typically < 10), each a fully vectorized (N, N) masked max —
+    # ~100x fewer sequential steps on TPU than the scalar loop.
+    invalid = ~jnp.isfinite(sscores)
+    tri = (
+        (iou > iou_thr)
+        & (jnp.arange(n)[:, None] > jnp.arange(n)[None, :])
+        & ~invalid[None, :]
+    )
 
-    def body(i, suppressed):
-        keep_i = ~suppressed[i]
-        row = (iou[i] > iou_thr) & (jnp.arange(n) > i) & keep_i
-        return suppressed | row
+    def cond(state):
+        kept, changed = state
+        return changed
 
-    suppressed = jax.lax.fori_loop(0, n, body, invalid0)
-    kept = ~suppressed
+    def body(state):
+        kept, _ = state
+        new_kept = ~(tri & kept[None, :]).any(axis=1) & ~invalid
+        return new_kept, jnp.any(new_kept != kept)
+
+    kept0 = ~invalid
+    kept, _ = jax.lax.while_loop(cond, body, (kept0, jnp.asarray(True)))
 
     # compact kept (already score-sorted) to the front, take max_out
     rank = jnp.where(kept, jnp.arange(n), n + jnp.arange(n))

@@ -191,3 +191,31 @@ def test_point_sample_center():
     img[0, 1:3, 1:3, 0] = 1.0
     out = np.asarray(point_sample(jnp.asarray(img), jnp.asarray([[[0.5, 0.5]]])))
     assert out[0, 0, 0] == pytest.approx(1.0)
+
+
+def test_fused_extract_matches_per_level_roi_align():
+    from rsprompter_tpu.models.roi_heads.roi_extractor import (
+        extract_roi_feats,
+        map_roi_levels,
+    )
+
+    rs = np.random.RandomState(7)
+    feats = [
+        jnp.asarray(rs.randn(2, 64 // (2 ** i), 64 // (2 ** i), 8).astype(np.float32))
+        for i in range(4)
+    ]
+    boxes = np.zeros((20, 4), np.float32)
+    xy = rs.rand(20, 2) * 150
+    wh = rs.rand(20, 2) * 80 + 8
+    boxes[:, :2] = xy
+    boxes[:, 2:] = xy + wh
+    rois = jnp.asarray(
+        np.concatenate([rs.randint(0, 2, (20, 1)).astype(np.float32), boxes], 1)
+    )
+    got = np.asarray(extract_roi_feats(feats, rois, (7, 7), (4, 8, 16, 32)))
+    lvl = np.asarray(map_roi_levels(rois, 4))
+    ref = np.zeros_like(got)
+    for l, (f, st) in enumerate(zip(feats, (4, 8, 16, 32))):
+        fl = np.asarray(roi_align(f, rois, (7, 7), 1.0 / st, 2))
+        ref[lvl == l] = fl[lvl == l]
+    np.testing.assert_allclose(got, ref, atol=1e-4)
