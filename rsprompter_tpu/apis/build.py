@@ -98,6 +98,19 @@ def build_detector(model_cfg: Dict[str, Any]):
             num_samples=cfg.get("num_samples", 512),
             pos_fraction=cfg.get("pos_fraction", 0.25),
         )
+    if mtype == "SAMSegMask2Former":
+        from rsprompter_tpu.models.detectors.rsprompter_query import SAMSegMask2Former
+
+        return SAMSegMask2Former(
+            **common, **lora,
+            prompt_shape=tuple(cfg.get("prompt_shape", (100, 5))),
+            select_layers=tuple(
+                cfg.get("select_layers", _ARCH_SELECT_LAYERS[arch])
+            ),
+            aggregator_hidden=cfg.get("aggregator_hidden", 32),
+            aggregator_type=cfg.get("aggregator_type", "multi"),
+            freeze_backbone=cfg.get("peft_config") is None,
+        )
     if mtype == "RSPrompterQuery":
         from rsprompter_tpu.models.detectors.rsprompter_query import RSPrompterQuery
 

@@ -44,6 +44,8 @@ class Runner:
         seed: int = 0,
         make_step=None,
         predict_fn=None,
+        vis_interval: int = 0,  # draw every Nth val image (0 = off); the
+        # DetVisualizationHook analogue (reference engine/hooks/visualization_hook.py:19)
     ):
         self.model = model
         self.tx = tx
@@ -60,6 +62,7 @@ class Runner:
         self.log_path = os.path.join(work_dir, "metrics.jsonl")
         self.make_step = make_step
         self.predict_fn = predict_fn
+        self.vis_interval = vis_interval
         self.best_metric = -1.0
 
     def _log(self, record: Dict[str, Any]) -> None:
@@ -140,9 +143,44 @@ class Runner:
                     continue
                 idx = self._index_for_img_id(meta["img_id"])
                 gts.append(gt_from_raw_sample(self.val_dataset.load_raw(idx)))
-            metric.process(metas, jax.device_get(dets), np.asarray(mask_probs), gts)
+            dets_np = jax.device_get(dets)
+            probs_np = np.asarray(mask_probs)
+            metric.process(metas, dets_np, probs_np, gts)
+            if self.vis_interval and offset % self.vis_interval == 0:
+                self._visualize(metas[0], dets_np, probs_np, offset)
             offset += len(metas)
         return metric.compute()
+
+    def _visualize(self, meta, dets, probs, index: int) -> None:
+        try:
+            import cv2
+
+            from rsprompter_tpu.apis.inferencer import draw_predictions
+            from rsprompter_tpu.ops.masks import finalize_masks_np
+
+            img = cv2.imread(meta["img_path"])
+            if img is None:
+                return
+            keep = np.asarray(dets.valid[0]) & (np.asarray(dets.scores[0]) > 0.3)
+            ws, hs = meta["scale_factor"]
+            pred = dict(
+                bboxes=(np.asarray(dets.boxes[0])[keep]
+                        / np.array([ws, hs, ws, hs])).tolist(),
+                scores=np.asarray(dets.scores[0])[keep].tolist(),
+                labels=np.asarray(dets.labels[0])[keep].tolist(),
+                masks=finalize_masks_np(
+                    probs[0][keep], meta["batch_input_shape"],
+                    meta["ori_shape"], meta["scale_factor"],
+                ),
+            )
+            vis_dir = os.path.join(self.work_dir, "vis")
+            os.makedirs(vis_dir, exist_ok=True)
+            cv2.imwrite(
+                os.path.join(vis_dir, f"val_{index}.jpg"),
+                draw_predictions(img.astype(np.float32), pred),
+            )
+        except Exception as e:  # visualization must never break training
+            print(f"vis failed: {e}")
 
     def _index_for_img_id(self, img_id) -> int:
         if not hasattr(self, "_img_id_to_idx"):

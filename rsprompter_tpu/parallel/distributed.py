@@ -1,0 +1,58 @@
+"""Multi-host initialization (the dist_train.sh / slurm / MPI replacement).
+
+The reference launches one process per GPU via ``torch.distributed.launch`` /
+srun / mpirun (SURVEY §5.8). JAX is single-controller per host: call
+``initialize()`` once per host process and every host sees the global device
+set; meshes built with ``parallel.mesh.make_mesh`` then span all hosts, with
+ICI collectives intra-slice and DCN across slices — no launcher beyond one
+process per host.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX. No-ops on a single host.
+
+    On TPU pods the arguments are auto-detected from the environment; on
+    CPU/GPU clusters pass them explicitly or via JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID (mirroring MASTER_ADDR / WORLD_SIZE /
+    RANK from the reference's launchers).
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        # single host or TPU pod with full auto-detection
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process run
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_info():
+    return dict(
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        local_devices=len(jax.local_devices()),
+        global_devices=len(jax.devices()),
+    )
