@@ -51,13 +51,21 @@ def main():
     _ = np.asarray(out[0, 0, 0, :1])
 
     # chained timing: each forward consumes a value derived from the previous
-    # output, serializing execution; one tiny transfer at the end
-    iters = 10
+    # output (non-foldable dependency), serializing execution; one tiny
+    # transfer at the end. A warm chain first — the remote executor's first
+    # few launches of a program are slower.
+    def chain(xx, out):
+        return x * (1.0 + (out.mean() * 1e-9).astype(x.dtype))
+
     xx = x
+    for _ in range(6):
+        xx = chain(xx, forward(params, xx))
+    _ = np.asarray(xx[0, 0, 0])
+
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(params, xx)
-        xx = x + (out.mean() * 0).astype(x.dtype)
+        xx = chain(xx, forward(params, xx))
     _ = np.asarray(xx[0, 0, 0])
     dt = time.perf_counter() - t0
 
