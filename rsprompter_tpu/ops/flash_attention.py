@@ -98,6 +98,63 @@ def _flash_fwd(q, k, v, rel_h, rel_w, scale, hw, block_q):
     )(q, k, v, rel_h, rel_w, eh, ew)
 
 
+def _fwd_kernel_smallseq(
+    q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, o_ref, *, scale, num_heads
+):
+    """Small-sequence (window) variant: one grid cell = one batch element,
+    ALL heads processed in an unrolled loop. 196-token windows are tiny — a
+    per-(batch, head) grid is launch-bound (thousands of ~us cells), so we
+    amortize the cell overhead across heads instead.
+
+    Refs: q/k/v (1, heads, S, d); rh (1, heads, S, H); rw (1, heads, S, W).
+    """
+    for h_i in range(num_heads):
+        q = q_ref[0, h_i]
+        k = k_ref[0, h_i]
+        v = v_ref[0, h_i]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        bias = jax.lax.dot(
+            rh_ref[0, h_i], eh_ref[...], preferred_element_type=jnp.float32
+        ) + jax.lax.dot(rw_ref[0, h_i], ew_ref[...], preferred_element_type=jnp.float32)
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m).astype(v.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, h_i] = (o / l).astype(o_ref.dtype)
+
+
+def _flash_fwd_smallseq(q, k, v, rel_h, rel_w, scale, hw):
+    """q,k,v: (B, N, S, d) with small S; rel factors per head."""
+    b, n, s, d = q.shape
+    h, w = hw
+    rows = jnp.repeat(jnp.arange(h), w)
+    cols = jnp.tile(jnp.arange(w), h)
+    eh = (rows[None, :] == jnp.arange(h)[:, None]).astype(q.dtype)
+    ew = (cols[None, :] == jnp.arange(w)[:, None]).astype(q.dtype)
+    kernel = functools.partial(_fwd_kernel_smallseq, scale=scale, num_heads=n)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, s, d), q.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, s, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, n, s, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, n, s, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, n, s, h), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, n, s, w), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((h, s), lambda i: (0, 0)),
+            pl.BlockSpec((w, s), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, s, d), lambda i: (i, 0, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(q, k, v, rel_h, rel_w, eh, ew)
+
+
 def _attention_ref_chunked(q, k, v, rel_h, rel_w, scale, hw, chunk=512):
     """XLA fallback with q-chunking (used for backward recompute and CPU)."""
     h, w = hw
@@ -146,6 +203,36 @@ def _flash_core_bwd(scale, hw, block_q, residuals, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_core_small(q, k, v, rel_h, rel_w, scale, hw):
+    return _flash_fwd_smallseq(q, k, v, rel_h, rel_w, scale, hw)
+
+
+def _flash_core_small_fwd(q, k, v, rel_h, rel_w, scale, hw):
+    out = _flash_fwd_smallseq(q, k, v, rel_h, rel_w, scale, hw)
+    return out, (q, k, v, rel_h, rel_w)
+
+
+def _flash_core_small_bwd(scale, hw, residuals, g):
+    q, k, v, rel_h, rel_w = residuals
+    b, n, s, d = q.shape
+    h, w = hw
+
+    def ref(q, k, v, rel_h, rel_w):
+        out = _attention_ref_chunked(
+            q.reshape(b * n, s, d), k.reshape(b * n, s, d),
+            v.reshape(b * n, s, d), rel_h.reshape(b * n, s, h),
+            rel_w.reshape(b * n, s, w), scale, hw, chunk=s,
+        )
+        return out.reshape(b, n, s, d)
+
+    _, vjp = jax.vjp(ref, q, k, v, rel_h, rel_w)
+    return vjp(g)
+
+
+_flash_core_small.defvjp(_flash_core_small_fwd, _flash_core_small_bwd)
+
+
 def flash_attention_rel_pos(
     q: jax.Array,  # (B, heads, S, d)
     k: jax.Array,
@@ -160,8 +247,6 @@ def flash_attention_rel_pos(
     b, n, s, d = q.shape
     scale = d ** -0.5
     qf = q.reshape(b * n, s, d)
-    kf = k.reshape(b * n, s, d)
-    vf = v.reshape(b * n, s, d)
     if rel_pos_h is not None:
         rh_tab, rw_tab = decomposed_rel_pos_tables(
             rel_pos_h, rel_pos_w, (h, w), (h, w)
@@ -176,12 +261,21 @@ def flash_attention_rel_pos(
     else:
         rel_h = jnp.zeros((b * n, s, h), q.dtype)
         rel_w = jnp.zeros((b * n, s, w), q.dtype)
+
+    if s <= 512:
+        # window-attention regime: amortize grid-cell overhead across heads
+        out = _flash_core_small(
+            q, k, v,
+            rel_h.reshape(b, n, s, h), rel_w.reshape(b, n, s, w),
+            scale, (h, w),
+        )
+        return out
+
+    kf = k.reshape(b * n, s, d)
+    vf = v.reshape(b * n, s, d)
     # pick a block that divides S; fp32 needs smaller tiles to fit VMEM
     bq = block_q if q.dtype.itemsize <= 2 else min(block_q, 128)
-    if s <= bq:
-        bq = s  # small (window) sequences: one block, Mosaic pads internally
-    else:
-        while s % bq:
-            bq //= 2
+    while s % bq:
+        bq //= 2
     out = _flash_core(qf, kf, vf, rel_h, rel_w, scale, (h, w), bq)
     return out.reshape(b, n, s, d)
