@@ -86,6 +86,32 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_sharded_predict(
+    model,
+    mesh: Mesh,
+    variables,
+    example_batch,
+    tp_rules=(),
+):
+    """jit predict with the batch sharded on 'data' and params on tp_rules.
+
+    The batched-multi-dataset-eval / serving path: N chips each decode their
+    batch shard; detection outputs come back sharded the same way. Returns
+    (jitted_predict, sharded_variables).
+    """
+    v_sh = {
+        k: param_shardings(v, mesh, tp_rules if k == "params" else ())
+        for k, v in variables.items()
+    }
+    b_sh = batch_shardings(example_batch, mesh)
+
+    def predict(variables, batch):
+        return model.apply(variables, batch, method="predict")
+
+    fn = jax.jit(predict, in_shardings=(v_sh, b_sh))
+    return fn, jax.device_put(variables, v_sh)
+
+
 def make_sharded_train_step(
     model,
     tx: optax.GradientTransformation,

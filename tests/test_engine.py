@@ -116,3 +116,19 @@ def test_sharded_train_step_dp_tp_zero():
     qkv = new_state.params["backbone"]["layers_0"]["attn"]["qkv"]["kernel"]
     spec = qkv.sharding.spec
     assert "model" in str(spec)
+
+
+def test_sharded_predict_dp():
+    """Inference data-parallel over the 8-device mesh."""
+    from rsprompter_tpu.engine.train_state import make_sharded_predict
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    model = _tiny_model()
+    batch = {k: jnp.asarray(v) for k, v in demo_batch(8, (64, 64)).items()}
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, method="predict")
+    predict, sharded_vars = make_sharded_predict(model, mesh, variables, batch)
+    dets, mask_probs = predict(sharded_vars, batch)
+    assert dets.boxes.shape[0] == 8
+    assert np.isfinite(np.asarray(dets.scores)).all()
+    # batch outputs stay sharded over 'data'
+    assert "data" in str(dets.boxes.sharding.spec)
