@@ -53,9 +53,11 @@ class DetInferencer:
     def _ensure_initialized(self, batch):
         if self._variables is not None:
             return
-        variables = self.model.init(
-            {"params": jax.random.PRNGKey(0)}, batch, method="predict"
-        )
+        variables = jax.jit(
+            lambda: self.model.init(
+                {"params": jax.random.PRNGKey(0)}, batch, method="predict"
+            )
+        )()
         params = variables["params"]
         if self.sam_ckpt and os.path.exists(self.sam_ckpt):
             from rsprompter_tpu.engine.checkpoint import load_sam_pretrained

@@ -57,7 +57,9 @@ def main():
 
     batch_np, _ = next(iter(loader))
     batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
-    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, method="predict")
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, batch, method="predict")
+    )()
 
     sam_ckpt = cfg.model.get("hf_sam_pretrain_ckpt_path") or cfg.model.get(
         "sam_checkpoint"

@@ -81,10 +81,12 @@ def main():
     # init params
     batch_np, _ = next(iter(train_loader))
     batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
-    variables = model.init(
-        {"params": jax.random.PRNGKey(cfg.get("seed", 0))},
-        batch, jax.random.PRNGKey(1), method="loss",
-    )
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(cfg.get("seed", 0))},
+            batch, jax.random.PRNGKey(1), method="loss",
+        )
+    )()
     params = variables["params"]
 
     ckpt_path = cfg.model.get("hf_sam_pretrain_ckpt_path") or cfg.model.get(
