@@ -213,6 +213,8 @@ class SamVisionEncoder(nn.Module):
     attn_impl: str = "xla"
     lora_rank: int = 0
     lora_alpha: float = 32.0
+    remat: bool = False  # rematerialize each layer's activations in backward
+    # (jax.checkpoint; the finetune-memory knob — frozen backbones don't need it)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -240,9 +242,10 @@ class SamVisionEncoder(nn.Module):
             x = x + pos_embed.astype(x.dtype)
 
         hidden_states = [x]
+        layer_cls = nn.remat(SamVisionLayer) if self.remat else SamVisionLayer
         for i in range(cfg.num_hidden_layers):
             window = 0 if i in cfg.global_attn_indexes else cfg.window_size
-            x = SamVisionLayer(
+            x = layer_cls(
                 config=cfg,
                 window_size=window,
                 attn_impl=self.attn_impl,

@@ -66,3 +66,22 @@ def test_lora_gradients_flow():
     # b is zero-init so a's grad is zero, but b receives gradient
     assert np.abs(np.asarray(g_b)).max() > 0
     assert np.asarray(g_a).shape == (32, 4)
+
+
+def test_remat_matches_and_grads_flow():
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3), jnp.float32)
+    base = SamVisionEncoder(config=TINY, lora_rank=2)
+    remat = SamVisionEncoder(config=TINY, lora_rank=2, remat=True)
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    o1, _ = base.apply({"params": params}, x)
+    o2, _ = remat.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+    def loss(p):
+        out, _ = remat.apply({"params": p}, x)
+        return (out ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    assert np.abs(np.asarray(g["layers_0"]["attn"]["qkv_lora_b"])).max() > 0
