@@ -39,6 +39,7 @@ class Runner:
         work_dir: str = "./work_dir",
         max_epochs: int = 12,
         val_interval: int = 3,
+        ckpt_interval: int = 1,
         log_interval: int = 20,
         num_classes: int = 1,
         seed: int = 0,
@@ -55,6 +56,7 @@ class Runner:
         self.work_dir = work_dir
         self.max_epochs = max_epochs
         self.val_interval = val_interval
+        self.ckpt_interval = ckpt_interval
         self.log_interval = log_interval
         self.num_classes = num_classes
         self.rng = jax.random.PRNGKey(seed)
@@ -109,7 +111,8 @@ class Runner:
                     rec.update({k: float(v) for k, v in metrics.items()})
                     rec["it_per_s"] = len(window) / max(sum(window), 1e-9)
                     self._log(rec)
-            save_checkpoint(ckpt_dir, state, it)
+            if (epoch + 1) % self.ckpt_interval == 0 or epoch == self.max_epochs - 1:
+                save_checkpoint(ckpt_dir, state, it)
             if self.val_loader is not None and (epoch + 1) % self.val_interval == 0:
                 results = self.validate(state)
                 self._log(dict(epoch=epoch, **results))

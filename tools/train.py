@@ -118,6 +118,8 @@ def main():
         work_dir=work_dir,
         max_epochs=max_epochs,
         val_interval=cfg.get("val_interval", 3),
+        ckpt_interval=cfg.get("ckpt_interval", 1),
+        log_interval=cfg.get("log_interval", 20),
         num_classes=cfg.model.get("num_classes", 1),
     )
     runner.train(state, resume=args.resume)
