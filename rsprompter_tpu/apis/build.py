@@ -10,7 +10,7 @@ freeze-path list from the model type + flags (the reference's
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,9 +15,8 @@ and no optimizer state is materialized for them (ZeRO-friendly).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
-import jax
 import optax
 
 FROZEN = "frozen"

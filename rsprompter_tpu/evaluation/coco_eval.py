@@ -10,11 +10,11 @@ maxDets 100. Mask IoU goes through the native RLE library
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 
-from rsprompter_tpu.evaluation.rle import RLE, iou_matrix
+from rsprompter_tpu.evaluation.rle import iou_matrix
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)

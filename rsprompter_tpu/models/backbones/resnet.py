@@ -14,10 +14,9 @@ averages and the optimizer masks BN params when ``frozen_stages`` covers them.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 ARCH_SETTINGS = {

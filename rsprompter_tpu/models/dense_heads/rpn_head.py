@@ -14,7 +14,7 @@ preserved via level-id batched NMS, matching ``_predict_by_feat_single``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, List, NamedTuple, Sequence
 
 import flax.linen as nn
 import jax
@@ -25,7 +25,7 @@ from rsprompter_tpu.models.losses import binary_cross_entropy, smooth_l1
 from rsprompter_tpu.models.task_modules.anchor_generator import AnchorGenerator
 from rsprompter_tpu.models.task_modules.assigners import max_iou_assign
 from rsprompter_tpu.models.task_modules.samplers import random_sample_padded
-from rsprompter_tpu.ops.boxes import DeltaXYWHBBoxCoder, clip_boxes
+from rsprompter_tpu.ops.boxes import DeltaXYWHBBoxCoder
 from rsprompter_tpu.ops.nms import batched_nms
 
 

@@ -18,7 +18,6 @@ from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from rsprompter_tpu.models.dense_heads.mask2former_head import Mask2FormerHead
 from rsprompter_tpu.models.necks.rsfpn import (

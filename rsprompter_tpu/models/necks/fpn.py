@@ -12,7 +12,6 @@ from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 
 class FPN(nn.Module):

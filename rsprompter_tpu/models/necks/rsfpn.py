@@ -19,11 +19,10 @@ mechanically.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from rsprompter_tpu.models.sam.common import SamLayerNorm
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from rsprompter_tpu.models.losses import cross_entropy, smooth_l1
-from rsprompter_tpu.ops.boxes import DeltaXYWHBBoxCoder, clip_boxes
+from rsprompter_tpu.ops.boxes import DeltaXYWHBBoxCoder
 from rsprompter_tpu.ops.nms import batched_nms
 
 

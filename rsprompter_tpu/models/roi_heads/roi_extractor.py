@@ -19,8 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rsprompter_tpu.ops.roi_align import roi_align
-
 
 def map_roi_levels(rois: jax.Array, num_levels: int, finest_scale: int = 56) -> jax.Array:
     """rois (R, 5) -> level index (R,) int32."""

@@ -9,7 +9,7 @@ table at reference ``mmpretrain/models/backbones/vit_sam.py:377-402``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

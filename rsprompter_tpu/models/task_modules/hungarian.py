@@ -14,8 +14,6 @@ tiny (Q x G), the round-trip is negligible next to the SAM decode).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

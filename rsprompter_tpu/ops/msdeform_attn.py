@@ -13,7 +13,7 @@ level — XLA lowers it to vectorized dynamic-gathers; no scatter, fully static.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
