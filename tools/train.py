@@ -99,12 +99,29 @@ def main():
     elif ckpt_path:
         print(f"WARNING: SAM checkpoint {ckpt_path} not found; random init")
 
+    # reference NumClassCheckHook: config classes must match the dataset
+    n_cls = cfg.model.get("num_classes", 1)
+    ds_cls = len(train_ds.metainfo.get("classes", ()))
+    if ds_cls and ds_cls != n_cls:
+        raise ValueError(
+            f"model.num_classes={n_cls} != dataset classes={ds_cls} "
+            f"({train_ds.metainfo['classes']})"
+        )
+
+    base_lr = cfg.get("base_lr", 1e-4)
+    # reference auto_scale_lr: linear scaling by global batch size
+    asl = cfg.get("auto_scale_lr") or {}
+    if asl.get("enable"):
+        global_bs = cfg.train_dataloader.get("batch_size", 2)
+        base_lr = base_lr * global_bs / asl.get("base_batch_size", global_bs)
+        print(f"auto_scale_lr: lr -> {base_lr}")
+
     max_epochs = cfg.get("max_epochs", 12)
     steps_per_epoch = max(len(train_loader), 1)
     freeze, override = freeze_paths_for(cfg.model)
     tx, _ = build_optimizer(
         params,
-        base_lr=cfg.get("base_lr", 1e-4),
+        base_lr=base_lr,
         weight_decay=cfg.get("weight_decay", 0.05),
         total_steps=max_epochs * steps_per_epoch,
         warmup_steps=cfg.get("warmup_iters", 50),
