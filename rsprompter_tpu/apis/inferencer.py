@@ -24,11 +24,18 @@ from rsprompter_tpu.ops.masks import finalize_masks_np
 
 
 class DetInferencer:
+    """size_buckets: optional ascending list of square input sizes. Each image
+    routes to the smallest bucket that fits (after keep-ratio resize), and each
+    bucket compiles exactly once — variable input sizes with no retracing
+    (the reference's dynamic-input-size feature, SURVEY §5.7, done the XLA way).
+    """
+
     def __init__(
         self,
         model: Union[str, Config, Dict],
         weights: Optional[str] = None,
         batch_size: int = 1,
+        size_buckets: Optional[Sequence[int]] = None,
     ):
         if isinstance(model, str):
             cfg = Config.fromfile(model)
@@ -38,6 +45,7 @@ class DetInferencer:
             cfg = Config.fromdict({"model": model})
         self.cfg = cfg
         self.crop_size = tuple(cfg.get("crop_size", (1024, 1024)))
+        self.size_buckets = sorted(size_buckets) if size_buckets else None
         self.batch_size = batch_size
         self.model = build_detector(cfg.model)
         self.pipeline = build_test_pipeline(self.crop_size)
@@ -48,6 +56,14 @@ class DetInferencer:
         self.sam_ckpt = cfg.model.get("hf_sam_pretrain_ckpt_path") or cfg.model.get(
             "sam_checkpoint"
         )
+
+    def _bucket_for(self, h: int, w: int):
+        if not self.size_buckets:
+            return self.crop_size
+        for b in self.size_buckets:
+            if max(h, w) <= b:
+                return (b, b)
+        return (self.size_buckets[-1], self.size_buckets[-1])
 
     # -- lazy init (needs an example batch for shapes) -----------------------
     def _ensure_initialized(self, batch):
@@ -98,9 +114,11 @@ class DetInferencer:
         for start in range(0, len(inputs), self.batch_size):
             chunk = inputs[start : start + self.batch_size]
             samples = []
+            crop = self.crop_size
             for item in chunk:
                 img = self._load_image(item)
                 h, w = img.shape[:2]
+                crop = self._bucket_for(h, w)
                 s = dict(
                     img=img, img_id=start, img_path=item if isinstance(item, str) else "",
                     ori_shape=(h, w), img_shape=(h, w), scale_factor=(1.0, 1.0),
@@ -109,12 +127,12 @@ class DetInferencer:
                     gt_ignore_flags=np.zeros(0, bool),
                     gt_masks=np.zeros((0, h, w), np.uint8),
                 )
-                for t in self.pipeline:
+                for t in build_test_pipeline(crop):
                     s = t(s)
                 samples.append(s)
             batch_np, metas = collate_batch(
                 samples, batch_size=self.batch_size, max_gt=1,
-                pad_shape=self.crop_size,
+                pad_shape=crop,
             )
             batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
             self._ensure_initialized(batch)
