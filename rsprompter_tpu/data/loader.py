@@ -28,6 +28,7 @@ class DataLoader:
         drop_last: bool = True,
         shard_id: int = 0,
         num_shards: int = 1,
+        prefetch: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -38,6 +39,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.prefetch = prefetch
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -47,6 +49,35 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator:
+        if self.prefetch > 0:
+            return self._iter_prefetch()
+        return self._iter_sync()
+
+    def _iter_prefetch(self) -> Iterator:
+        """Decode/transform batches in a background thread (the num_workers
+        analogue of the reference's torch DataLoader)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for item in self._iter_sync():
+                    q.put(item)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+
+    def _iter_sync(self) -> Iterator:
         indices = np.arange(len(self.dataset))
         if self.shuffle:
             rs = np.random.RandomState(self.seed + self.epoch)

@@ -104,3 +104,13 @@ def test_flip_consistency():
     out = RandomFlip(prob=1.1)(dict(sample))
     np.testing.assert_allclose(out["gt_bboxes"], [[15, 0, 20, 10]])
     assert out["img"][0, -1, 0] == 1.0
+
+
+def test_dataloader_prefetch_matches_sync(dataset):
+    a = DataLoader(dataset, batch_size=2, shuffle=False, max_gt=20,
+                   pad_shape=(256, 256))
+    b = DataLoader(dataset, batch_size=2, shuffle=False, max_gt=20,
+                   pad_shape=(256, 256), prefetch=2)
+    for (ba, ma), (bb, mb) in zip(a, b):
+        np.testing.assert_array_equal(ba["images"], bb["images"])
+        assert [m["img_id"] for m in ma] == [m["img_id"] for m in mb]

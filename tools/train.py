@@ -65,6 +65,7 @@ def main():
         shuffle=True,
         max_gt=cfg.get("max_gt", 100),
         pad_shape=crop,
+        prefetch=2 if cfg.train_dataloader.get("num_workers", 0) > 0 else 0,
     )
     val_loader = val_ds = None
     if cfg.get("val_dataloader"):
