@@ -100,6 +100,84 @@ def _set_subtree(params, path: str, value):
     node[parts[-1]] = value
 
 
+# reference-trained mmengine .pth -> this framework's param-tree naming.
+# The reference wraps HF modules one level deep (RSSamVisionEncoder holds
+# `vision_encoder`, RSSamMaskDecoder holds `mask_decoder`, ... — reference
+# mmdet/rsprompter/models.py:719-914), and mmdet's MultiheadAttention packs
+# qkv as torch `attn.in_proj_*`.
+REFERENCE_PTH_REVISE_KEYS = [
+    (r"^module\.", ""),
+    (r"^backbone\.vision_encoder\.", "backbone."),
+    (r"^shared_image_embedding\.shared_image_embedding\.", "shared_image_embedding."),
+    (r"^neck\.feature_aggregator\.", "neck_feature_aggregator."),
+    (r"^neck\.feature_spliter\.", "neck_feature_spliter."),
+    (r"\.mask_decoder\.mask_decoder\.", ".mask_decoder."),
+    (r"^panoptic_head\.pixel_decoder\.encoder\.layers\.", "panoptic_head.pixel_decoder.encoder_layers."),
+    (r"^panoptic_head\.transformer_decoder\.layers\.", "panoptic_head.transformer_decoder_layers."),
+    (r"^panoptic_head\.transformer_decoder\.post_norm\.", "panoptic_head.transformer_decoder_post_norm."),
+    (r"^panoptic_head\.level_embed\.", "panoptic_head.level_embed."),
+    (r"\.input_convs\.(\d+)\.gn\.", r".input_convs.\1.gn."),
+]
+
+# conv->linear flatten boundaries present in the reference heads
+REFERENCE_FLATTEN_LINEARS = {
+    "shared_fcs_0": (256, 7, 7),
+    "point_emb_4": (256, 7, 7),
+}
+
+
+def _split_packed_mha(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """torch nn.MultiheadAttention packed qkv -> separate q/k/v projections."""
+    out = {}
+    for k, v in sd.items():
+        if k.endswith(".attn.in_proj_weight"):
+            base = k[: -len(".attn.in_proj_weight")]
+            c = v.shape[0] // 3
+            out[f"{base}.q_proj.weight"] = v[:c]
+            out[f"{base}.k_proj.weight"] = v[c : 2 * c]
+            out[f"{base}.v_proj.weight"] = v[2 * c :]
+        elif k.endswith(".attn.in_proj_bias"):
+            base = k[: -len(".attn.in_proj_bias")]
+            c = v.shape[0] // 3
+            out[f"{base}.q_proj.bias"] = v[:c]
+            out[f"{base}.k_proj.bias"] = v[c : 2 * c]
+            out[f"{base}.v_proj.bias"] = v[2 * c :]
+        elif ".attn.out_proj." in k:
+            out[k.replace(".attn.out_proj.", ".out_proj.")] = v
+        else:
+            out[k] = v
+    return out
+
+
+def load_reference_checkpoint(
+    params: Dict[str, Any],
+    state_dict: Dict[str, np.ndarray],
+    verbose: bool = True,
+):
+    """Load a reference-trained mmengine ``.pth`` state_dict into a detector
+    param tree (the paper-weights path of the north star). Returns
+    (params, missing_keys)."""
+    from rsprompter_tpu.utils.torch_convert import (
+        revise_state_dict_keys,
+        torch_to_flax,
+    )
+
+    sd = _split_packed_mha(
+        revise_state_dict_keys(state_dict, REFERENCE_PTH_REVISE_KEYS)
+    )
+    new_params, missing, used = torch_to_flax(
+        sd, params, flatten_linears=REFERENCE_FLATTEN_LINEARS
+    )
+    if verbose:
+        print(
+            f"[load_reference_checkpoint] used {len(used)} tensors, "
+            f"{len(missing)} params missing"
+        )
+        if missing:
+            print("  first missing:", missing[:5])
+    return new_params, missing
+
+
 def load_sam_pretrained(
     params: Dict[str, Any],
     state_dict: Dict[str, np.ndarray],

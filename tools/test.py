@@ -71,12 +71,18 @@ def main():
         )
         variables = {**variables, "params": params}
     if args.checkpoint:
-        from rsprompter_tpu.engine.train_state import TrainState
+        if args.checkpoint.endswith((".pth", ".bin", ".safetensors")):
+            # reference-trained mmengine checkpoint
+            from rsprompter_tpu.engine.checkpoint import load_reference_checkpoint
 
-        # restore params-only from an orbax train-state checkpoint
-        target = dict(params=variables["params"])
-        restored = restore_checkpoint(args.checkpoint, target)
-        variables = {**variables, "params": restored["params"]}
+            sd = load_torch_checkpoint(args.checkpoint)
+            params, _ = load_reference_checkpoint(variables["params"], sd)
+            variables = {**variables, "params": params}
+        else:
+            # orbax train-state checkpoint (params-only restore)
+            target = dict(params=variables["params"])
+            restored = restore_checkpoint(args.checkpoint, target)
+            variables = {**variables, "params": restored["params"]}
 
     method = "oracle_predict" if args.oracle else "predict"
     predict = jax.jit(lambda v, b: model.apply(v, b, method=method))
