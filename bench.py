@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 
 A100_REFERENCE_IPS = 40.0
-TARGET_MULTIPLier = 2.0
+TARGET_MULTIPLIER = 2.0
 
 
 def main():
@@ -70,7 +70,7 @@ def main():
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt
-    baseline = A100_REFERENCE_IPS * TARGET_MULTIPLier
+    baseline = A100_REFERENCE_IPS * TARGET_MULTIPLIER
     print(
         json.dumps(
             {
