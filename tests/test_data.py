@@ -114,3 +114,23 @@ def test_dataloader_prefetch_matches_sync(dataset):
     for (ba, ma), (bb, mb) in zip(a, b):
         np.testing.assert_array_equal(ba["images"], bb["images"])
         assert [m["img_id"] for m in ma] == [m["img_id"] for m in mb]
+
+
+def test_pad_value_is_bgr_ordered_imagenet_mean():
+    """Parity-critical (SURVEY A.1): test-pipeline pad uses BGR-ordered means
+    so that after BGR->RGB + normalize the padded region is ~zero."""
+    from rsprompter_tpu.data.transforms import PAD_VALUE_BGR, Pad, PackDetInputs
+
+    img = np.full((10, 10, 3), 128.0, np.float32)  # BGR content
+    sample = dict(
+        img=img, img_shape=(10, 10), ori_shape=(10, 10), scale_factor=(1, 1),
+        gt_bboxes=np.zeros((0, 4), np.float32), gt_labels=np.zeros(0, np.int64),
+        gt_ignore_flags=np.zeros(0, bool), gt_masks=np.zeros((0, 10, 10), np.uint8),
+    )
+    out = Pad((16, 16))(sample)
+    np.testing.assert_allclose(out["img"][12, 12], PAD_VALUE_BGR)
+    # BGR channel order: blue slot holds 0.406*255
+    assert abs(PAD_VALUE_BGR[0] - 0.406 * 255) < 1e-6
+    out = PackDetInputs()(out)
+    # after normalization the padded region is exactly the zero-mean point
+    np.testing.assert_allclose(out["img"][12, 12], [0, 0, 0], atol=1e-5)
