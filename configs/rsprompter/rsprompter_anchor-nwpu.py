@@ -19,10 +19,10 @@ model = dict(
     with_sincos=True,
     train_cfg=dict(
         rpn=dict(num=256, pos_fraction=0.5),
-        rpn_proposal=dict(nms_pre=2000, max_per_img=1000, pre_nms_total=2000),
+        rpn_proposal=dict(nms_pre=2000, max_per_img=1000, pre_nms_total=8192),
     ),
     test_cfg=dict(
-        rpn=dict(nms_pre=1000, max_per_img=1000, pre_nms_total=2000),
+        rpn=dict(nms_pre=1000, max_per_img=1000, pre_nms_total=4096),
         rcnn=dict(score_thr=0.05, nms_iou_thr=0.5, max_per_img=100,
                   mask_thr_binary=0.5),
     ),

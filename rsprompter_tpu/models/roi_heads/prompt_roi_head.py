@@ -59,6 +59,8 @@ class RSPrompterAnchorRoIPromptHead(nn.Module):
     featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
     bbox_roi_size: int = 7
     mask_roi_size: int = 14
+    # 0 = mmcv-exact adaptive ceil(bin) sampling (parity default); >0 = fixed
+    roi_sampling_ratio: int = 0
     num_samples: int = 256
     pos_fraction: float = 0.25
     with_extra_pe: bool = True
@@ -103,6 +105,7 @@ class RSPrompterAnchorRoIPromptHead(nn.Module):
         mask_feats = extract_roi_feats(
             feats[: len(self.featmap_strides)], rois,
             (self.mask_roi_size, self.mask_roi_size), self.featmap_strides,
+            sampling_ratio=self.roi_sampling_ratio,
         )
         mask_feats = mask_feats.reshape((b, r) + mask_feats.shape[1:])
         masks, iou = self.mask_head(
@@ -138,6 +141,7 @@ class RSPrompterAnchorRoIPromptHead(nn.Module):
         bbox_feats = extract_roi_feats(
             feats[: len(self.featmap_strides)], rois,
             (self.bbox_roi_size, self.bbox_roi_size), self.featmap_strides,
+            sampling_ratio=self.roi_sampling_ratio,
         )
         cls_logits, bbox_deltas = self.bbox_head(bbox_feats)
         flat_labels = jnp.where(
@@ -198,6 +202,7 @@ class RSPrompterAnchorRoIPromptHead(nn.Module):
         bbox_feats = extract_roi_feats(
             feats[: len(self.featmap_strides)], rois,
             (self.bbox_roi_size, self.bbox_roi_size), self.featmap_strides,
+            sampling_ratio=self.roi_sampling_ratio,
         )
         cls_logits, bbox_deltas = self.bbox_head(bbox_feats)
         cfg = dict(self.test_cfg or {})

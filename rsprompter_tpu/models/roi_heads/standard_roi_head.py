@@ -88,6 +88,8 @@ class StandardRoIHead(nn.Module):
     featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
     bbox_roi_size: int = 7
     mask_roi_size: int = 14
+    # 0 = mmcv-exact adaptive ceil(bin) sampling (parity default); >0 = fixed
+    roi_sampling_ratio: int = 0
     mask_size: int = 28
     num_samples: int = 512
     pos_fraction: float = 0.25
@@ -132,6 +134,7 @@ class StandardRoIHead(nn.Module):
         bbox_feats = extract_roi_feats(
             feats[: len(self.featmap_strides)], rois,
             (self.bbox_roi_size, self.bbox_roi_size), self.featmap_strides,
+            sampling_ratio=self.roi_sampling_ratio,
         )
         cls_logits, bbox_deltas = self.bbox_head(bbox_feats)
         flat_labels = jnp.where(
@@ -152,6 +155,7 @@ class StandardRoIHead(nn.Module):
         mask_feats = extract_roi_feats(
             feats[: len(self.featmap_strides)], mask_rois,
             (self.mask_roi_size, self.mask_roi_size), self.featmap_strides,
+            sampling_ratio=self.roi_sampling_ratio,
         )
         mask_logits = self.mask_head(mask_feats)
         targets = mask_targets_from_rois(
@@ -178,6 +182,7 @@ class StandardRoIHead(nn.Module):
         bbox_feats = extract_roi_feats(
             feats[: len(self.featmap_strides)], rois,
             (self.bbox_roi_size, self.bbox_roi_size), self.featmap_strides,
+            sampling_ratio=self.roi_sampling_ratio,
         )
         cls_logits, bbox_deltas = self.bbox_head(bbox_feats)
         cfg = dict(self.test_cfg or {})
@@ -198,6 +203,7 @@ class StandardRoIHead(nn.Module):
         mask_feats = extract_roi_feats(
             feats[: len(self.featmap_strides)], mask_rois,
             (self.mask_roi_size, self.mask_roi_size), self.featmap_strides,
+            sampling_ratio=self.roi_sampling_ratio,
         )
         mask_logits = self.mask_head(mask_feats)  # (B*D, S, S, C)
         if self.class_agnostic_mask:

@@ -219,3 +219,74 @@ def test_fused_extract_matches_per_level_roi_align():
         fl = np.asarray(roi_align(f, rois, (7, 7), 1.0 / st, 2))
         ref[lvl == l] = fl[lvl == l]
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_extract_adaptive_matches_mmcv_rule():
+    """sampling_ratio=0 (adaptive ceil(bin) grid) vs the numpy mmcv kernel."""
+    from rsprompter_tpu.models.roi_heads.roi_extractor import (
+        extract_roi_feats,
+        map_roi_levels,
+    )
+
+    rs = np.random.RandomState(11)
+    feats = [
+        jnp.asarray(rs.randn(1, 64 // (2 ** i), 64 // (2 ** i), 3).astype(np.float32))
+        for i in range(4)
+    ]
+    strides = (4, 8, 16, 32)
+    boxes = np.zeros((12, 4), np.float32)
+    xy = rs.rand(12, 2) * 120
+    wh = rs.rand(12, 2) * 120 + 10
+    boxes[:, :2] = xy
+    boxes[:, 2:] = xy + wh
+    rois = jnp.asarray(np.concatenate([np.zeros((12, 1), np.float32), boxes], 1))
+    got = np.asarray(
+        extract_roi_feats(feats, rois, (7, 7), strides, sampling_ratio=0)
+    )
+    lvl = np.asarray(map_roi_levels(rois, 4))
+    rois_np = np.asarray(rois)
+    for i in range(12):
+        st = strides[lvl[i]]
+        f = np.asarray(feats[lvl[i]]).transpose(0, 3, 1, 2)
+        bin_h = (rois_np[i, 4] - rois_np[i, 2]) * (1.0 / st) / 7
+        bin_w = (rois_np[i, 3] - rois_np[i, 1]) * (1.0 / st) / 7
+        ratio_h = int(np.clip(np.ceil(bin_h), 1, 4))
+        ratio_w = int(np.clip(np.ceil(bin_w), 1, 4))
+        ref = _np_roi_align_aligned_hw(
+            f, rois_np[i : i + 1], 7, 1.0 / st, ratio_h, ratio_w
+        )
+        np.testing.assert_allclose(
+            got[i].transpose(2, 0, 1), ref[0], atol=2e-4,
+            err_msg=f"roi {i} lvl {lvl[i]} ratios {ratio_h}x{ratio_w}",
+        )
+
+
+def _np_roi_align_aligned_hw(feat_nchw, rois, out, scale, ratio_h, ratio_w):
+    """mmcv aligned RoIAlign with separate h/w sampling counts."""
+    n, c, h, w = feat_nchw.shape
+    res = np.zeros((len(rois), c, out, out), np.float32)
+    for ri, roi in enumerate(rois):
+        b = int(roi[0])
+        x1, y1, x2, y2 = roi[1:] * scale - 0.5
+        bh, bw = (y2 - y1) / out, (x2 - x1) / out
+        for oy in range(out):
+            for ox in range(out):
+                acc = np.zeros(c, np.float32)
+                for sy in range(ratio_h):
+                    for sx in range(ratio_w):
+                        y = y1 + (oy + (sy + 0.5) / ratio_h) * bh
+                        x = x1 + (ox + (sx + 0.5) / ratio_w) * bw
+                        if y < -1 or y > h or x < -1 or x > w:
+                            continue
+                        y, x = max(y, 0), max(x, 0)
+                        y0, x0 = min(int(np.floor(y)), h - 1), min(int(np.floor(x)), w - 1)
+                        y1_, x1_ = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                        ly, lx = min(max(y - y0, 0), 1), min(max(x - x0, 0), 1)
+                        acc += (
+                            feat_nchw[b, :, y0, x0] * (1 - ly) * (1 - lx)
+                            + feat_nchw[b, :, y0, x1_] * (1 - ly) * lx
+                            + feat_nchw[b, :, y1_, x0] * ly * (1 - lx)
+                            + feat_nchw[b, :, y1_, x1_] * ly * lx
+                        )
+                res[ri, :, oy, ox] = acc / (ratio_h * ratio_w)
+    return res
