@@ -30,8 +30,8 @@ def main():
     image_size = 1024
     cfg = sam_config("base", image_size=image_size).vision_config
     platform = jax.devices()[0].platform
-    # Pallas flash attention for the 4 global layers on TPU; XLA elsewhere
-    attn_impl = "xla" if platform == "cpu" else "flash"
+    # fused Pallas path (packed-qkv attention + fused MLP) on TPU
+    attn_impl = "xla" if platform == "cpu" else "fused"
     model = SamVisionEncoder(config=cfg, attn_impl=attn_impl, dtype=jnp.bfloat16)
 
     x = jnp.zeros((batch, image_size, image_size, 3), jnp.bfloat16)
@@ -43,33 +43,42 @@ def main():
     def forward(params, x):
         return model.apply(params, x, output_hidden_states=False)
 
-    # warmup / compile (force completion with a host transfer — on the axon
-    # remote platform block_until_ready returns before execution finishes)
+    # In-graph chained timing: a lax.scan of N forwards where each iteration
+    # consumes a scalar derived from the previous output (non-foldable data
+    # dependency -> strictly serialized on device), returning one scalar.
+    # Slope between two N values cancels dispatch/transfer constants — the
+    # axon tunnel's async dispatch makes per-call host timing unreliable.
     import numpy as np
 
-    out = forward(params, x)
-    _ = np.asarray(out[0, 0, 0, :1])
+    def make(n):
+        @jax.jit
+        def prog(params, x):
+            def body(xx, _):
+                out = forward(params, xx)
+                return xx * (1.0 + (out.mean() * 1e-9).astype(xx.dtype)), ()
 
-    # chained timing: each forward consumes a value derived from the previous
-    # output (non-foldable dependency), serializing execution; one tiny
-    # transfer at the end. A warm chain first — the remote executor's first
-    # few launches of a program are slower.
-    def chain(xx, out):
-        return x * (1.0 + (out.mean() * 1e-9).astype(x.dtype))
+            xx, _ = jax.lax.scan(body, x, None, length=n)
+            return xx.mean()
 
-    xx = x
-    for _ in range(6):
-        xx = chain(xx, forward(params, xx))
-    _ = np.asarray(xx[0, 0, 0])
+        return prog
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        xx = chain(xx, forward(params, xx))
-    _ = np.asarray(xx[0, 0, 0])
-    dt = time.perf_counter() - t0
+    n_lo, n_hi = 4, 14
+    lo, hi = make(n_lo), make(n_hi)
+    for _ in range(3):  # compile + per-program warmup
+        float(np.asarray(lo(params, x)))
+        float(np.asarray(hi(params, x)))
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(lo(params, x)))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(hi(params, x)))
+        t_hi = time.perf_counter() - t0
+        dts.append((t_hi - t_lo) / (n_hi - n_lo))
+    dt = min(dts)
 
-    ips = batch * iters / dt
+    ips = batch / dt
     baseline = A100_REFERENCE_IPS * TARGET_MULTIPLIER
     print(
         json.dumps(

@@ -53,9 +53,10 @@ def build_detector(model_cfg: Dict[str, Any]):
         train_cfg=cfg.get("train_cfg"),
         test_cfg=cfg.get("test_cfg"),
         dtype=jnp.bfloat16 if cfg.get("bf16", False) else None,
-        # Pallas flash attention by default on TPU; XLA reference path on CPU
+        # fused Pallas attention (packed qkv + fused MLP) by default on TPU;
+        # XLA reference path on CPU. Non-64 head_dims fall back internally.
         attn_impl=cfg.get(
-            "attn_impl", "flash" if jax.default_backend() == "tpu" else "xla"
+            "attn_impl", "fused" if jax.default_backend() == "tpu" else "xla"
         ),
     )
     lora = dict(

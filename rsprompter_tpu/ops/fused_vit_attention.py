@@ -1,0 +1,293 @@
+"""Fused SAM-ViT attention (TPU Pallas, v2 of the encoder hot path).
+
+Replaces ``flash_attention_rel_pos`` as the encoder's attention engine
+(reference behavior: HF ``SamVisionAttention`` / decomposed rel-pos of
+``mmpretrain/models/backbones/vit_sam.py:78-157``). On-chip measurements
+(scripts/perf_probe.py) showed the v1 path HBM/VPU-bound, not MXU-bound;
+three structural changes fix that:
+
+1. **Big-matmul rel-pos factors.** The gathered per-(q, k) bias factors
+   ``rel_h[q, kr] = q . T_h[(qr - kr) + L - 1]`` were a batched einsum over
+   tiny per-row matmuls (~2.1 ms/layer measured). Instead: ONE well-shaped
+   matmul against the raw table ``q @ T^T`` (M=B*S*n, K=64, N=2L-1), then a
+   static minor-dim take_along_axis realignment (~1.3 ms for both tables).
+
+2. **Single K=128 bias expansion.** [rel_h | rel_w] packed per head multiply
+   ONE 0/1 expansion matrix E (2L, S) inside the kernel — one MXU pass
+   instead of two half-empty K<=64 passes (measured: each pass ~1.4 ms on
+   the 4096-token global layers).
+
+3. **Head-major qkv layout from an einsum.** qkv arrives as (B, 3n, S, 64)
+   produced by ``einsum('bsc,ncd->bnsd')`` — cheaper than matmul + 5D
+   transpose and exactly the per-(batch, head) blocking the kernel wants.
+   Two heads per grid cell let Mosaic overlap one head's VPU softmax with
+   the other head's MXU matmuls. ``exp2`` in fp32 replaces ``exp`` (same
+   numerics to 1 ulp, measured ~0.8 ms/layer faster).
+
+Backward runs an XLA recompute (flash-style, O(S) memory) via ``custom_vjp``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HEAD_DIM = 64  # SAM ViT-B/L/H all use head_dim 64
+LOG2E = 1.4426950408889634
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform == "cpu"
+
+
+def _resize_table(table: jax.Array, length: int) -> jax.Array:
+    """Linear-resize a (L, d) rel-pos table to ``length`` rows (trace-time);
+    mirrors reference ``vit_sam.py:78-113`` interpolation on size mismatch."""
+    if table.shape[0] != length:
+        table = jax.image.resize(table, (length, table.shape[1]), method="linear")
+    return table
+
+
+def rel_factors(
+    q: jax.Array,  # (B, n, S, d) head-major queries
+    rel_pos_h: jax.Array,
+    rel_pos_w: jax.Array,
+    hw: Tuple[int, int],
+) -> jax.Array:
+    """Gathered factors (B, n, S, 2L), L = max(h, w): [rel_h pad L | rel_w pad L].
+
+    One big matmul against each raw table (M = B*S*n, K = 64) followed by a
+    static minor-dim ``take_along_axis`` realignment
+    (``rel[q, k] = full[q, (qpos - kpos) + L - 1]``) — measured ~2x faster
+    than the per-row batched einsum over pre-gathered (q, k, d) tables.
+    """
+    h, w = hw
+    b, n, s, d = q.shape
+    assert s == h * w
+    th = _resize_table(rel_pos_h, 2 * h - 1).astype(q.dtype)
+    tw = _resize_table(rel_pos_w, 2 * w - 1).astype(q.dtype)
+    lmax = max(h, w)
+
+    if s > 512:
+        # global grid: one big matmul against the raw table, then a static
+        # minor-dim gather (fast at this scale; the batched einsum below
+        # pays ~2 ms in row-major<->batch-major relayouts here)
+        qf = q.reshape(b * n * s, d)
+        full_h = (qf @ th.T).reshape(b * n, h, w, 2 * h - 1)
+        full_w = (qf @ tw.T).reshape(b * n, h, w, 2 * w - 1)
+        idx_h = jnp.arange(h)[:, None] - jnp.arange(h)[None, :] + (h - 1)
+        idx_w = jnp.arange(w)[:, None] - jnp.arange(w)[None, :] + (w - 1)
+        rel_h = jnp.take_along_axis(full_h, idx_h[None, :, None, :], axis=-1)
+        rel_w = jnp.take_along_axis(full_w, idx_w[None, None, :, :], axis=-1)
+    else:
+        # window grid: pre-gather the tiny tables to (q, k, d) and contract —
+        # the arrays are small enough that the batched einsum wins (the
+        # take_along_axis route pays ~3.7 ms in minor-dim gathers here)
+        qg = q.reshape(b * n, h, w, d)
+        idx_h = jnp.arange(h)[:, None] - jnp.arange(h)[None, :] + (h - 1)
+        idx_w = jnp.arange(w)[:, None] - jnp.arange(w)[None, :] + (w - 1)
+        th_g = th[idx_h]  # (h, h, d)
+        tw_g = tw[idx_w]  # (w, w, d)
+        rel_h = jnp.einsum("bhwc,hkc->bhwk", qg, th_g)
+        rel_w = jnp.einsum("bhwc,wkc->bhwk", qg, tw_g)
+
+    if h < lmax:
+        rel_h = jnp.pad(rel_h, ((0, 0), (0, 0), (0, 0), (0, lmax - h)))
+    if w < lmax:
+        rel_w = jnp.pad(rel_w, ((0, 0), (0, 0), (0, 0), (0, lmax - w)))
+    packed = jnp.concatenate([rel_h, rel_w], axis=-1)  # (b*n, h, w, 2L)
+    return packed.reshape(b, n, s, 2 * lmax)
+
+
+def _expansion_matrix(hw: Tuple[int, int], dtype) -> jax.Array:
+    """E (2L, S): rows 0:L one-hot on token row, rows L:2L one-hot on col."""
+    h, w = hw
+    lmax = max(h, w)
+    rows = jnp.repeat(jnp.arange(h), w)
+    cols = jnp.tile(jnp.arange(w), h)
+    eh = (rows[None, :] == jnp.arange(lmax)[:, None]).astype(dtype)
+    ew = (cols[None, :] == jnp.arange(lmax)[:, None]).astype(dtype)
+    return jnp.concatenate([eh, ew], axis=0)  # (2L, S)
+
+
+def _attend_one(q, k, v, f, e, scale, out_dtype):
+    """scores -> softmax -> PV for one head; bias via one expansion matmul."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + jax.lax.dot(f, e, preferred_element_type=jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    # exp2 on fp32 == exp to 1 ulp; measurably faster on the VPU
+    p = jnp.exp2((s - m) * LOG2E).astype(v.dtype)
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+    return (o / l).astype(out_dtype)
+
+
+def _global_kernel(q_ref, k_ref, v_ref, f_ref, e_ref, o_ref, *, scale):
+    """One (batch, head-pair, q-block) cell. Two heads per cell so Mosaic can
+    overlap one head's VPU softmax with the other head's MXU matmuls."""
+    e = e_ref[...]
+    for j in range(2):
+        o_ref[0, 0, j] = _attend_one(
+            q_ref[0, 0, j], k_ref[0, 0, j], v_ref[0, 0, j], f_ref[0, 0, j],
+            e, scale, o_ref.dtype,
+        )
+
+
+def _window_kernel(qkv_ref, f_ref, e_ref, o_ref, *, scale, heads):
+    """One window per cell; all heads unrolled (small-S windows are
+    launch-bound on a per-head grid)."""
+    e = e_ref[...]
+    for n in range(heads):
+        o_ref[0, n] = _attend_one(
+            qkv_ref[0, n], qkv_ref[0, heads + n], qkv_ref[0, 2 * heads + n],
+            f_ref[0, n], e, scale, o_ref.dtype,
+        )
+
+
+def _fused_fwd(qkv, rel_pos_h, rel_pos_w, hw, block_q=512):
+    """qkv: (B, 3n, S, d) head-major. Returns (B, n, S, d)."""
+    h, w = hw
+    b, n3, s, d = qkv.shape
+    n = n3 // 3
+    assert d == HEAD_DIM and s == h * w
+    scale = d ** -0.5
+    lmax = max(h, w)
+
+    if rel_pos_h is not None:
+        factors = rel_factors(qkv[:, :n], rel_pos_h, rel_pos_w, hw)
+    else:
+        factors = jnp.zeros((b, n, s, 2 * lmax), qkv.dtype)
+    e = _expansion_matrix(hw, qkv.dtype)
+    interpret = _interpret()
+
+    if s <= 512:
+        kernel = functools.partial(_window_kernel, scale=scale, heads=n)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, n, s, d), qkv.dtype),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, n3, s, d), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, n, s, 2 * lmax), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((2 * lmax, s), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, n, s, d), lambda i: (i, 0, 0, 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(qkv, factors, e)
+
+    assert n % 2 == 0, "global kernel packs two heads per cell"
+    bq = block_q
+    while s % bq:
+        bq //= 2
+    kernel = functools.partial(_global_kernel, scale=scale)
+    # head pairs are contiguous: view (B, 3n, S, d) as (B, 3n/2, 2, S, d) —
+    # a free reshape — so one BlockSpec carries both heads of a pair
+    qkv_p = qkv.reshape(b, n3 // 2, 2, s, d)
+    fac_p = factors.reshape(b, n // 2, 2, s, 2 * lmax)
+    hp = n // 2
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hp, 2, s, d), qkv.dtype),
+        grid=(b, hp, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, bq, d), lambda b_, p, i: (b_, p, 0, i, 0)),
+            pl.BlockSpec((1, 1, 2, s, d), lambda b_, p, i: (b_, hp + p, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 2, s, d), lambda b_, p, i: (b_, 2 * hp + p, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 2, bq, 2 * lmax), lambda b_, p, i: (b_, p, 0, i, 0)),
+            pl.BlockSpec((2 * lmax, s), lambda b_, p, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 2, bq, d), lambda b_, p, i: (b_, p, 0, i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # scores fp32 (512, S) + resident K/V; the default 16 MB scoped
+            # limit is both too small and flakily enforced across grid sizes
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qkv_p, qkv_p, qkv_p, fac_p, e)
+    return out.reshape(b, n, s, d)
+
+
+def _reference_attention(qkv, rel_pos_h, rel_pos_w, hw, chunk=512):
+    """Chunked XLA attention from (B, 3n, S, d) qkv (CPU path + backward
+    recompute). Differentiable w.r.t. qkv and the raw tables."""
+    h, w = hw
+    b, n3, s, d = qkv.shape
+    n = n3 // 3
+    scale = d ** -0.5
+    q, k, v = qkv[:, :n], qkv[:, n : 2 * n], qkv[:, 2 * n :]
+    lmax = max(h, w)
+
+    if rel_pos_h is not None:
+        packed = rel_factors(q, rel_pos_h, rel_pos_w, hw)
+        rel_h = packed[..., :h].reshape(b * n, s, h)
+        rel_w = packed[..., lmax : lmax + w].reshape(b * n, s, w)
+    else:
+        rel_h = jnp.zeros((b * n, s, h), qkv.dtype)
+        rel_w = jnp.zeros((b * n, s, w), qkv.dtype)
+
+    bn = b * n
+    q = q.reshape(bn, s, d)
+    k = k.reshape(bn, s, d)
+    v = v.reshape(bn, s, d)
+    chunk = min(chunk, s)
+    while s % chunk:
+        chunk //= 2
+    n_chunks = s // chunk
+
+    def one_chunk(args):
+        qc, rhc, rwc = args
+        sc = jnp.einsum("bqd,bkd->bqk", qc, k, preferred_element_type=jnp.float32) * scale
+        bias = (rhc[:, :, :, None] + rwc[:, :, None, :]).reshape(bn, qc.shape[1], s)
+        sc = sc + bias.astype(sc.dtype)
+        p = jax.nn.softmax(sc, axis=-1).astype(v.dtype)
+        return jnp.einsum("bqk,bkd->bqd", p, v)
+
+    qs = q.reshape(bn, n_chunks, chunk, d).transpose(1, 0, 2, 3)
+    rhs = rel_h.reshape(bn, n_chunks, chunk, h).transpose(1, 0, 2, 3)
+    rws = rel_w.reshape(bn, n_chunks, chunk, w).transpose(1, 0, 2, 3)
+    out = jax.lax.map(one_chunk, (qs, rhs, rws))
+    return out.transpose(1, 0, 2, 3).reshape(b, n, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_qkv_attention(qkv, rel_pos_h, rel_pos_w, hw):
+    """Attention over an (h, w) token grid from head-major packed qkv.
+
+    Args:
+      qkv: (B, 3*heads, S, 64) — heads-major [q heads | k heads | v heads],
+        e.g. from ``einsum('bsc,ncd->bnsd', x, W.reshape/transposed)``.
+      rel_pos_h/w: raw (2L-1, 64) decomposed rel-pos tables, or None.
+      hw: static (h, w), S = h*w.
+
+    Returns (B, heads, S, 64).
+    """
+    return _fused_fwd(qkv, rel_pos_h, rel_pos_w, hw)
+
+
+def _fused_fwd_vjp(qkv, rel_pos_h, rel_pos_w, hw):
+    return _fused_fwd(qkv, rel_pos_h, rel_pos_w, hw), (qkv, rel_pos_h, rel_pos_w)
+
+
+def _fused_bwd_vjp(hw, residuals, g):
+    qkv, rel_pos_h, rel_pos_w = residuals
+
+    def ref(qkv, th, tw):
+        return _reference_attention(qkv, th, tw, hw)
+
+    _, vjp = jax.vjp(ref, qkv, rel_pos_h, rel_pos_w)
+    return vjp(g)
+
+
+fused_qkv_attention.defvjp(_fused_fwd_vjp, _fused_bwd_vjp)

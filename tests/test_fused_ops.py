@@ -1,0 +1,159 @@
+"""Tests for the fused TPU hot-path ops (CPU: Pallas interpret mode).
+
+Covers the v2 encoder path: packed-qkv fused attention (global + window
+kernels), big-matmul rel-pos factors, the fused LN+MLP+residual kernel, the
+space-to-depth patch embed, and param-tree/numerics parity of the fused
+encoder against the XLA reference implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsprompter_tpu.models.sam.configs import sam_config
+from rsprompter_tpu.models.sam.vision_encoder import SamVisionEncoder
+from rsprompter_tpu.ops.attention import attention_rel_pos
+from rsprompter_tpu.ops.fused_mlp import _xla_reference, fused_mlp_residual
+from rsprompter_tpu.ops.fused_vit_attention import (
+    _reference_attention,
+    fused_qkv_attention,
+    rel_factors,
+)
+
+
+def _rand(key, shape, scale=0.3):
+    return jax.random.normal(jax.random.PRNGKey(key), shape) * scale
+
+
+@pytest.mark.parametrize("hw,heads", [((8, 8), 4), ((14, 14), 2), ((32, 32), 2)])
+def test_fused_attention_matches_xla(hw, heads):
+    h, w = hw
+    s = h * w
+    qkv = _rand(0, (2, 3 * heads, s, 64))
+    th = _rand(1, (2 * h - 1, 64), 0.2)
+    tw = _rand(2, (2 * w - 1, 64), 0.2)
+    out = fused_qkv_attention(qkv, th, tw, hw)
+    ref = attention_rel_pos(
+        qkv[:, :heads], qkv[:, heads : 2 * heads], qkv[:, 2 * heads :],
+        hw, th, tw, impl="xla",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_interpolated_tables():
+    """Table length != 2L-1 exercises the trace-time resize path."""
+    h = w = 8
+    qkv = _rand(0, (1, 12, h * w, 64))
+    th = _rand(1, (11, 64), 0.2)
+    out = fused_qkv_attention(qkv, th, th, (h, w))
+    ref = attention_rel_pos(
+        qkv[:, :4], qkv[:, 4:8], qkv[:, 8:], (h, w), th, th, impl="xla"
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_no_tables():
+    h = w = 8
+    qkv = _rand(0, (1, 12, h * w, 64))
+    out = fused_qkv_attention(qkv, None, None, (h, w))
+    ref = attention_rel_pos(
+        qkv[:, :4], qkv[:, 4:8], qkv[:, 8:], (h, w), None, None, impl="xla"
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_grad_matches_reference():
+    h = w = 8
+    qkv = _rand(0, (1, 12, h * w, 64))
+    th = _rand(1, (15, 64), 0.2)
+
+    g_fused = jax.grad(
+        lambda a, t: fused_qkv_attention(a, t, t, (h, w)).sum(), argnums=(0, 1)
+    )(qkv, th)
+    g_ref = jax.grad(
+        lambda a, t: _reference_attention(a, t, t, (h, w)).sum(), argnums=(0, 1)
+    )(qkv, th)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_rel_factors_match_gathered_tables():
+    """Big-matmul + take_along_axis == einsum over pre-gathered tables."""
+    from rsprompter_tpu.ops.attention import decomposed_rel_pos_tables
+
+    h, w, n = 33, 33, 2  # odd grid > 512 tokens exercises the global branch
+    s = h * w
+    q = _rand(0, (1, n, s, 64))
+    th = _rand(1, (2 * h - 1, 64), 0.2)
+    tw = _rand(2, (2 * w - 1, 64), 0.2)
+    packed = rel_factors(q, th, tw, (h, w))
+    rh_tab, rw_tab = decomposed_rel_pos_tables(th, tw, (h, w), (h, w))
+    qg = np.asarray(q).reshape(n, h, w, 64)
+    ref_h = np.einsum("nhwc,hkc->nhwk", qg, np.asarray(rh_tab))
+    ref_w = np.einsum("nhwc,wkc->nhwk", qg, np.asarray(rw_tab))
+    got = np.asarray(packed).reshape(n, h, w, 2 * h)
+    np.testing.assert_allclose(got[..., :h], ref_h, atol=1e-4)
+    np.testing.assert_allclose(got[..., h:], ref_w, atol=1e-4)
+
+
+def test_fused_mlp_matches_xla_reference():
+    c, m, t = 64, 256, 4096
+    x = _rand(0, (t, c)).astype(jnp.float32)
+    ls = jnp.abs(_rand(1, (c,), 1.0)) + 0.5
+    lb = _rand(2, (c,), 0.1)
+    w1 = _rand(3, (c, m), 0.1)
+    b1 = _rand(4, (m,), 0.1)
+    w2 = _rand(5, (m, c), 0.1)
+    b2 = _rand(6, (c,), 0.1)
+    out = fused_mlp_residual(x, ls, lb, w1, b1, w2, b2, 1e-6)
+    ref = _xla_reference(x, ls, lb, w1, b1, w2, b2, 1e-6)
+    # fp32: only the polynomial-erf gelu differs (|err| <= 1.5e-7 in erf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_fused_mlp_grad_finite():
+    c, m, t = 64, 256, 4096
+    x = _rand(0, (t, c))
+    ls = jnp.ones((c,)); lb = jnp.zeros((c,))
+    w1 = _rand(1, (c, m), 0.1); b1 = jnp.zeros((m,))
+    w2 = _rand(2, (m, c), 0.1); b2 = jnp.zeros((c,))
+    g = jax.grad(
+        lambda *a: fused_mlp_residual(*a, 1e-6).sum(), argnums=(0, 3, 5)
+    )(x, ls, lb, w1, b1, w2, b2)
+    assert all(bool(jnp.isfinite(a).all()) for a in g)
+
+
+def test_fused_encoder_matches_xla_encoder():
+    """Same params, same outputs (fp32 tolerance), identical param trees."""
+    cfg = sam_config("base", image_size=256).vision_config
+    x = _rand(0, (1, 256, 256, 3), 1.0)
+    m_ref = SamVisionEncoder(config=cfg, attn_impl="xla")
+    m_fused = SamVisionEncoder(config=cfg, attn_impl="fused")
+    p = m_ref.init(jax.random.PRNGKey(0), x)
+    p2 = m_fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+    ref_out, ref_hs = m_ref.apply(p, x)
+    fus_out, fus_hs = m_fused.apply(p, x)
+    np.testing.assert_allclose(
+        np.asarray(fus_out), np.asarray(ref_out), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fus_hs[-1]), np.asarray(ref_hs[-1]), atol=5e-5
+    )
+
+
+def test_patch_embed_space_to_depth_equals_conv():
+    import flax.linen as nn
+
+    from rsprompter_tpu.models.sam.vision_encoder import SamPatchEmbeddings
+
+    x = _rand(0, (1, 64, 64, 3), 1.0)
+    pe = SamPatchEmbeddings(hidden_size=32, patch_size=16)
+    p = pe.init(jax.random.PRNGKey(0), x)
+    out = pe.apply(p, x)
+
+    conv = nn.Conv(32, kernel_size=(16, 16), strides=(16, 16), padding="VALID")
+    cp = {"params": p["params"]["projection"]}
+    ref = conv.apply(cp, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
