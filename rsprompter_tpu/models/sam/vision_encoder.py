@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from rsprompter_tpu.models.sam.common import MLPBlock, SamLayerNorm
 from rsprompter_tpu.models.sam.configs import SamVisionConfig
 from rsprompter_tpu.ops.attention import attention_rel_pos
-from rsprompter_tpu.ops.fused_mlp import fused_mlp_residual
+from rsprompter_tpu.ops.fused_mlp import fused_ln_qkv, fused_mlp_residual
 from rsprompter_tpu.ops.fused_vit_attention import fused_qkv_attention
 
 
@@ -215,7 +215,7 @@ class SamVisionAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln_params=None):
         b, h, w, c = x.shape
         nh = self.num_attention_heads
         hd = self.hidden_size // nh
@@ -244,13 +244,25 @@ class SamVisionAttention(nn.Module):
 
         fused_ok = hd == 64 and (nh % 2 == 0 or h * w <= 512)
         if self.attn_impl == "fused" and fused_ok:
-            # head-major packed path: qkv via einsum straight into the kernel
-            # layout (B, 3n, S, 64) — no (B, heads, S, d) transposes anywhere
+            # head-major packed path: qkv straight into the kernel layout
+            # (B, 3n, S, 64) — no (B, heads, S, d) transposes anywhere
             x2 = x.reshape(b, h * w, c)
-            qkv_n = _HeadMajorDense(
-                heads=3 * nh, head_dim=hd, use_bias=self.qkv_bias,
-                dtype=self.dtype, name="qkv",
-            )(x2, lora=lora)
+            if ln_params is not None:
+                # the layer's LN1 fused into the qkv kernel (global layers,
+                # no LoRA — the layer only passes ln_params in that case)
+                ls, lb, eps = ln_params
+                wk, bk = _DenseParams(c, 3 * self.hidden_size, name="qkv")()
+                dt = self.dtype or x.dtype
+                qkv_n = fused_ln_qkv(
+                    x2.reshape(b * h * w, c).astype(dt), ls, lb,
+                    wk.astype(dt), bk.astype(dt),
+                    eps, 3 * nh, b,
+                )
+            else:
+                qkv_n = _HeadMajorDense(
+                    heads=3 * nh, head_dim=hd, use_bias=self.qkv_bias,
+                    dtype=self.dtype, name="qkv",
+                )(x2, lora=lora)
             out = fused_qkv_attention(qkv_n, rel_pos_h, rel_pos_w, (h, w))
             out = _HeadMajorProj(
                 features=self.hidden_size, dtype=self.dtype, name="proj"
@@ -288,7 +300,20 @@ class SamVisionLayer(nn.Module):
     def __call__(self, x):
         cfg = self.config
         residual = x
-        x = SamLayerNorm(eps=cfg.layer_norm_eps, name="layer_norm1")(x)
+        hd = cfg.hidden_size // cfg.num_attention_heads
+        ln_params = None
+        fuse_ln1 = (
+            self.attn_impl == "fused" and self.window_size == 0
+            and self.lora_rank == 0 and hd == 64
+            and cfg.num_attention_heads % 2 == 0
+        )
+        if fuse_ln1:
+            # LN1 runs inside the qkv kernel; declare its params here so the
+            # tree matches the SamLayerNorm path exactly
+            ls, lb = _LNParams(dim=cfg.hidden_size, name="layer_norm1")()
+            ln_params = (ls, lb, cfg.layer_norm_eps)
+        else:
+            x = SamLayerNorm(eps=cfg.layer_norm_eps, name="layer_norm1")(x)
         if self.window_size > 0:
             h, w = x.shape[1], x.shape[2]
             x, padded = window_partition(x, self.window_size)
@@ -309,7 +334,7 @@ class SamVisionLayer(nn.Module):
             lora_alpha=self.lora_alpha,
             dtype=self.dtype,
             name="attn",
-        )(x)
+        )(x, ln_params=ln_params)
         del input_size
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, padded, (h, w))
