@@ -1,8 +1,8 @@
-# RSPrompter-query on WHU (reference: configs/rsprompter/rsprompter_query-whu.py)
-_base_ = ["./rsprompter_anchor-whu.py"]
+# RSPrompter-query on SSDD (reference: configs/rsprompter/rsprompter_query-ssdd.py)
+_base_ = ["./rsprompter_anchor-ssdd.py"]
 
 num_classes = 1
-prompt_shape = (100, 5)
+prompt_shape = (30, 5)
 
 model = dict(
     _delete_=True,
@@ -17,5 +17,5 @@ model = dict(
     with_sincos=True,
     train_cfg=dict(num_points=12544, oversample_ratio=3.0,
                    importance_sample_ratio=0.75),
-    test_cfg=dict(max_per_image=100),
+    test_cfg=dict(max_per_image=prompt_shape[0]),
 )

@@ -47,6 +47,8 @@ class Runner:
         predict_fn=None,
         vis_interval: int = 0,  # draw every Nth val image (0 = off); the
         # DetVisualizationHook analogue (reference engine/hooks/visualization_hook.py:19)
+        mesh=None,  # jax.sharding.Mesh: shard validate's predict on 'data'
+        tp_rules=(),
     ):
         self.model = model
         self.tx = tx
@@ -65,7 +67,10 @@ class Runner:
         self.make_step = make_step
         self.predict_fn = predict_fn
         self.vis_interval = vis_interval
+        self.mesh = mesh
+        self.tp_rules = tuple(tp_rules)
         self.best_metric = -1.0
+        self._predict_cache = None  # compiled once, reused across validates
 
     def _log(self, record: Dict[str, Any]) -> None:
         record = {
@@ -124,14 +129,45 @@ class Runner:
                     )
         return state
 
+    def _make_predict(self):
+        """Build (once) the jitted predict — batch sharded on 'data' when a
+        mesh is configured, so validation scales with the training devices
+        (the reference ValLoop runs per-rank + collect; here XLA shards)."""
+        if self._predict_cache is not None:
+            return self._predict_cache
+
+        def predict(variables, batch):
+            return self.model.apply(variables, batch, method="predict")
+
+        if self.mesh is not None:
+            from rsprompter_tpu.parallel.mesh import (
+                batch_shardings,
+                param_shardings,
+            )
+
+            cache = {}
+
+            def sharded(variables, batch):
+                if "fn" not in cache:  # shardings need the first call's structure
+                    v_sh = {
+                        k: param_shardings(
+                            v, self.mesh, self.tp_rules if k == "params" else ()
+                        )
+                        for k, v in variables.items()
+                    }
+                    b_sh = batch_shardings(batch, self.mesh)
+                    cache["fn"] = jax.jit(predict, in_shardings=(v_sh, b_sh))
+                return cache["fn"](variables, batch)
+
+            self._predict_cache = sharded
+        else:
+            self._predict_cache = jax.jit(predict)
+        return self._predict_cache
+
     def validate(self, state: TrainState) -> Dict[str, float]:
         assert self.val_loader is not None and self.val_dataset is not None
         metric = CocoMetric(num_classes=self.num_classes)
-        predict = self.predict_fn or jax.jit(
-            lambda variables, batch: self.model.apply(
-                variables, batch, method="predict"
-            )
-        )
+        predict = self.predict_fn or self._make_predict()
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats

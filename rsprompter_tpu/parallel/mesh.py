@@ -104,3 +104,25 @@ def zero_shardings(opt_state, params_shardings, mesh: Mesh, axis: str = "data"):
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def mesh_from_config(dist_cfg: Optional[dict] = None):
+    """CLI entry for distributed execution (the dist_train.sh replacement).
+
+    Builds a (data, model) mesh over every visible device. Config vocabulary
+    (under the ``dist`` key): ``model_parallel`` (TP degree, default 1),
+    ``zero`` (shard optimizer state on 'data', default True), ``enable``
+    (force on/off; default: on iff more than one device).
+
+    Returns (mesh | None, tp_rules, zero).
+    """
+    dist_cfg = dict(dist_cfg or {})
+    n_devices = jax.device_count()
+    enable = dist_cfg.get("enable", n_devices > 1)
+    if not enable or n_devices == 1:
+        return None, (), bool(dist_cfg.get("zero", True))
+    n_model = int(dist_cfg.get("model_parallel", 1))
+    assert n_devices % n_model == 0, (n_devices, n_model)
+    mesh = make_mesh(n_data=n_devices // n_model, n_model=n_model)
+    tp_rules = DEFAULT_TP_RULES if n_model > 1 else ()
+    return mesh, tp_rules, bool(dist_cfg.get("zero", True))

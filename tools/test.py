@@ -41,16 +41,24 @@ def main():
     from rsprompter_tpu.evaluation.coco_metric import CocoMetric, gt_from_raw_sample
     from rsprompter_tpu.utils.torch_convert import load_torch_checkpoint
 
+    from rsprompter_tpu.parallel.mesh import mesh_from_config
+
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(args.cfg_options)
     crop = tuple(cfg.get("crop_size", (1024, 1024)))
     model = build_detector(cfg.model)
 
+    # shard eval over every visible device (dist_test.sh replacement);
+    # config batch_size is per-device
+    mesh, tp_rules, _ = mesh_from_config(cfg.get("dist"))
+    n_data = mesh.shape["data"] if mesh is not None else 1
+
     ds_cfg = dict((cfg.get("test_dataloader") or cfg.val_dataloader)["dataset"])
     ds_cfg["pipeline"] = build_test_pipeline(crop)
     dataset = DATASETS.build(ds_cfg)
     loader = DataLoader(
-        dataset, batch_size=cfg.get("val_dataloader", {}).get("batch_size", 2),
+        dataset,
+        batch_size=cfg.get("val_dataloader", {}).get("batch_size", 2) * n_data,
         shuffle=False, drop_last=False, max_gt=cfg.get("max_gt", 100),
         pad_shape=crop,
     )
@@ -85,7 +93,21 @@ def main():
             variables = {**variables, "params": restored["params"]}
 
     method = "oracle_predict" if args.oracle else "predict"
-    predict = jax.jit(lambda v, b: model.apply(v, b, method=method))
+    if mesh is not None:
+        from rsprompter_tpu.parallel.mesh import batch_shardings, param_shardings
+
+        v_sh = {
+            k: param_shardings(v, mesh, tp_rules if k == "params" else ())
+            for k, v in variables.items()
+        }
+        b_sh = batch_shardings(batch, mesh)
+        variables = jax.device_put(variables, v_sh)
+        predict = jax.jit(
+            lambda v, b: model.apply(v, b, method=method),
+            in_shardings=(v_sh, b_sh),
+        )
+    else:
+        predict = jax.jit(lambda v, b: model.apply(v, b, method=method))
 
     metric = CocoMetric(num_classes=cfg.model.get("num_classes", 1))
     id_to_idx = {d["img_id"]: i for i, d in enumerate(dataset.data_list)}

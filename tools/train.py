@@ -47,6 +47,8 @@ def main():
     from rsprompter_tpu.engine.train_state import TrainState
     from rsprompter_tpu.utils.torch_convert import load_torch_checkpoint
 
+    from rsprompter_tpu.parallel.mesh import mesh_from_config
+
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(args.cfg_options)
     if args.amp:
@@ -56,12 +58,20 @@ def main():
     crop = tuple(cfg.get("crop_size", (1024, 1024)))
     model = build_detector(cfg.model)
 
+    # distributed: shard over every visible device (the dist_train.sh
+    # replacement — reference tools/dist_train.sh / --launcher). batch_size
+    # in the config is PER-DEVICE, as with the reference's per-GPU loaders.
+    mesh, tp_rules, zero = mesh_from_config(cfg.get("dist"))
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    if mesh is not None:
+        print(f"mesh: {dict(mesh.shape)} (zero={zero}, tp_rules={bool(tp_rules)})")
+
     train_ds_cfg = dict(cfg.train_dataloader["dataset"])
     train_ds_cfg["pipeline"] = build_train_pipeline(crop)
     train_ds = DATASETS.build(train_ds_cfg)
     train_loader = DataLoader(
         train_ds,
-        batch_size=cfg.train_dataloader.get("batch_size", 2),
+        batch_size=cfg.train_dataloader.get("batch_size", 2) * n_data,
         shuffle=True,
         max_gt=cfg.get("max_gt", 100),
         pad_shape=crop,
@@ -74,7 +84,7 @@ def main():
         val_ds = DATASETS.build(val_ds_cfg)
         val_loader = DataLoader(
             val_ds,
-            batch_size=cfg.val_dataloader.get("batch_size", 2),
+            batch_size=cfg.val_dataloader.get("batch_size", 2) * n_data,
             shuffle=False, drop_last=False,
             max_gt=cfg.get("max_gt", 100), pad_shape=crop,
         )
@@ -110,10 +120,10 @@ def main():
         )
 
     base_lr = cfg.get("base_lr", 1e-4)
-    # reference auto_scale_lr: linear scaling by global batch size
+    # reference auto_scale_lr: linear scaling by GLOBAL batch size
     asl = cfg.get("auto_scale_lr") or {}
     if asl.get("enable"):
-        global_bs = cfg.train_dataloader.get("batch_size", 2)
+        global_bs = cfg.train_dataloader.get("batch_size", 2) * n_data
         base_lr = base_lr * global_bs / asl.get("base_batch_size", global_bs)
         print(f"auto_scale_lr: lr -> {base_lr}")
 
@@ -131,6 +141,14 @@ def main():
     )
     state = TrainState.create(params, variables.get("batch_stats"), tx)
 
+    make_step = None
+    if mesh is not None:
+        from rsprompter_tpu.engine.train_state import make_sharded_train_step
+
+        make_step, state = make_sharded_train_step(
+            model, tx, mesh, state, batch, tp_rules=tp_rules, zero=zero
+        )
+
     runner = Runner(
         model, tx, train_loader, val_loader, val_ds,
         work_dir=work_dir,
@@ -139,6 +157,9 @@ def main():
         ckpt_interval=cfg.get("ckpt_interval", 1),
         log_interval=cfg.get("log_interval", 20),
         num_classes=cfg.model.get("num_classes", 1),
+        make_step=make_step,
+        mesh=mesh,
+        tp_rules=tp_rules,
     )
     runner.train(state, resume=args.resume)
 
