@@ -75,7 +75,8 @@ def build_detector(model_cfg: Dict[str, Any]):
             with_sincos=cfg.get("with_sincos", True),
             multimask_output=cfg.get("multimask_output", False),
             decoder_freeze=cfg.get("decoder_freeze", True),
-            freeze_backbone=cfg.get("peft_config") is None,
+            freeze_backbone=cfg.get("peft_config") is None
+            and not cfg.get("train_backbone", False),
             num_samples=cfg.get("num_samples", 256),
             pos_fraction=cfg.get("pos_fraction", 0.25),
             mask_loss_resolution=cfg.get("mask_loss_resolution", "full"),
@@ -88,7 +89,8 @@ def build_detector(model_cfg: Dict[str, Any]):
             ),
             aggregator_hidden=cfg.get("aggregator_hidden", 32),
             aggregator_type=cfg.get("aggregator_type", "multi"),
-            freeze_backbone=cfg.get("peft_config") is None,
+            freeze_backbone=cfg.get("peft_config") is None
+            and not cfg.get("train_backbone", False),
             num_samples=cfg.get("num_samples", 512),
             pos_fraction=cfg.get("pos_fraction", 0.25),
         )
@@ -110,7 +112,8 @@ def build_detector(model_cfg: Dict[str, Any]):
             ),
             aggregator_hidden=cfg.get("aggregator_hidden", 32),
             aggregator_type=cfg.get("aggregator_type", "multi"),
-            freeze_backbone=cfg.get("peft_config") is None,
+            freeze_backbone=cfg.get("peft_config") is None
+            and not cfg.get("train_backbone", False),
         )
     if mtype == "RSPrompterQuery":
         from rsprompter_tpu.models.detectors.rsprompter_query import RSPrompterQuery
@@ -125,7 +128,8 @@ def build_detector(model_cfg: Dict[str, Any]):
             aggregator_type=cfg.get("aggregator_type", "multi"),
             with_sincos=cfg.get("with_sincos", True),
             decoder_freeze=cfg.get("decoder_freeze", True),
-            freeze_backbone=cfg.get("peft_config") is None,
+            freeze_backbone=cfg.get("peft_config") is None
+            and not cfg.get("train_backbone", False),
         )
     raise KeyError(f"Unknown detector type '{mtype}'")
 
@@ -136,7 +140,12 @@ def freeze_paths_for(model_cfg: Dict[str, Any]) -> Tuple[List[str], List[str]]:
     freeze: List[str] = []
     override: List[str] = []
     peft = model_cfg.get("peft_config")
-    if peft is None:
+    if model_cfg.get("train_backbone", False):
+        # from-scratch / full-finetune mode (no pretrained SAM available):
+        # beyond the reference's surface, which always freezes the encoder
+        # unless peft is set (models.py:66-75)
+        pass
+    elif peft is None:
         freeze.append("backbone")
     else:
         freeze.append("backbone")

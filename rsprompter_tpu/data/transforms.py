@@ -234,12 +234,19 @@ def collate_batch(
     batch_size: Optional[int] = None,
     max_gt: int = 100,
     pad_shape: Optional[Tuple[int, int]] = None,
+    pack_masks: bool = True,
 ) -> Tuple[Dict[str, np.ndarray], list]:
     """Pad samples into the fixed-size on-device batch dict + host metas.
 
     Replaces the reference's pseudo_collate + BatchFixedSizePad
     (``data_preprocessor.py:300``): images/masks pad to a common shape, GT pads
     to ``max_gt`` with validity flags; metas stay host-side (static per step).
+
+    ``pack_masks`` ships gt_masks as bit-packed uint8 (``gt_masks_packed``,
+    W/8 bytes per row) — 32x less host->device traffic than fp32 bitmaps
+    (at 512^2 bs4 max_gt=100: 13 MB vs 419 MB, which dominated the step on
+    the remote TPU link). The jitted train step unpacks on device
+    (``ops.masks.unpack_bits``).
     """
     n = batch_size or len(samples)
     hs = [s["img"].shape[0] for s in samples]
@@ -251,7 +258,7 @@ def collate_batch(
     gt_bboxes = np.zeros((n, max_gt, 4), np.float32)
     gt_labels = np.zeros((n, max_gt), np.int32)
     gt_valid = np.zeros((n, max_gt), bool)
-    gt_masks = np.zeros((n, max_gt, th, tw), np.float32)
+    gt_masks = np.zeros((n, max_gt, th, tw), np.uint8 if pack_masks else np.float32)
     metas = []
     for i, s in enumerate(samples):
         h, w = s["img"].shape[:2]
@@ -283,8 +290,11 @@ def collate_batch(
         gt_bboxes=gt_bboxes,
         gt_labels=gt_labels,
         gt_valid=gt_valid,
-        gt_masks=gt_masks,
     )
+    if pack_masks:
+        batch["gt_masks_packed"] = np.packbits(gt_masks, axis=-1)
+    else:
+        batch["gt_masks"] = gt_masks
     return batch, metas
 
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections import deque
 from typing import Any, Dict, Optional
 
 import jax
@@ -49,6 +48,9 @@ class Runner:
         # DetVisualizationHook analogue (reference engine/hooks/visualization_hook.py:19)
         mesh=None,  # jax.sharding.Mesh: shard validate's predict on 'data'
         tp_rules=(),
+        lr_schedule=None,  # optax schedule for lr logging (LogProcessor parity)
+        save_best=("coco/bbox_mAP", "coco/segm_mAP"),  # reference
+        # _base_/rsprompter_anchor.py:9: save_best on BOTH metrics
     ):
         self.model = model
         self.tx = tx
@@ -69,7 +71,9 @@ class Runner:
         self.vis_interval = vis_interval
         self.mesh = mesh
         self.tp_rules = tuple(tp_rules)
-        self.best_metric = -1.0
+        self.lr_schedule = lr_schedule
+        self.save_best = tuple(save_best)
+        self.best_metrics = {k: -1.0 for k in self.save_best}
         self._predict_cache = None  # compiled once, reused across validates
 
     def _log(self, record: Dict[str, Any]) -> None:
@@ -96,37 +100,51 @@ class Runner:
                 print(f"resumed from {path}")
         step_fn = self.make_step or make_train_step(self.model, self.tx)
 
-        window = deque(maxlen=50)
         it = int(state.step)
+        last_log_t = time.perf_counter()
+        last_log_it = it
         for epoch in range(self.max_epochs):
             for batch_np, metas in self.train_loader:
                 batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
-                t0 = time.perf_counter()
                 state, metrics = step_fn(state, batch, self.rng)
-                loss = float(metrics["loss"])
-                if not np.isfinite(loss):
-                    raise FloatingPointError(
-                        f"non-finite loss at iter {it}: "
-                        f"{ {k: float(v) for k, v in metrics.items()} }"
-                    )
-                window.append(time.perf_counter() - t0)
                 it += 1
                 if it % self.log_interval == 0:
+                    # sync only at log points: a per-step float() would
+                    # serialize host<->device every iteration (on the remote
+                    # TPU tunnel that costs more than the step itself). The
+                    # finite-loss guard therefore fires within log_interval
+                    # steps of the bad step, like the reference's
+                    # CheckInvalidLossHook (interval-based).
                     rec = dict(epoch=epoch, iter=it)
                     rec.update({k: float(v) for k, v in metrics.items()})
-                    rec["it_per_s"] = len(window) / max(sum(window), 1e-9)
+                    if not np.isfinite(rec["loss"]):
+                        raise FloatingPointError(
+                            f"non-finite loss at iter {it}: {rec}"
+                        )
+                    now = time.perf_counter()
+                    rec["it_per_s"] = (it - last_log_it) / max(
+                        now - last_log_t, 1e-9
+                    )
+                    if self.lr_schedule is not None:
+                        rec["lr"] = float(self.lr_schedule(it))
+                    last_log_t, last_log_it = now, it
                     self._log(rec)
             if (epoch + 1) % self.ckpt_interval == 0 or epoch == self.max_epochs - 1:
                 save_checkpoint(ckpt_dir, state, it)
             if self.val_loader is not None and (epoch + 1) % self.val_interval == 0:
                 results = self.validate(state)
                 self._log(dict(epoch=epoch, **results))
-                key = results.get("coco/segm_mAP", results.get("coco/bbox_mAP", 0))
-                if key is not None and key > self.best_metric:
-                    self.best_metric = key
-                    save_checkpoint(
-                        os.path.join(self.work_dir, "best"), state, it, keep=1
-                    )
+                # dual-key best checkpointing (reference
+                # save_best=['coco/bbox_mAP','coco/segm_mAP'], rule greater)
+                for key in self.save_best:
+                    val = results.get(key)
+                    if val is not None and val > self.best_metrics[key]:
+                        self.best_metrics[key] = val
+                        tag = key.split("/")[-1]
+                        save_checkpoint(
+                            os.path.join(self.work_dir, f"best_{tag}"),
+                            state, it, keep=1,
+                        )
         return state
 
     def _make_predict(self):

@@ -54,6 +54,9 @@ def make_train_step(
     """Returns step(state, batch, rng) -> (state, metrics)."""
 
     def step_fn(state: TrainState, batch, rng):
+        from rsprompter_tpu.ops.masks import unpack_batch_masks
+
+        batch = unpack_batch_masks(batch)  # bit-packed gt_masks -> fp32
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):

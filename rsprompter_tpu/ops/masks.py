@@ -19,6 +19,33 @@ import jax
 import numpy as np
 
 
+def unpack_bits(packed: jax.Array, width: int) -> jax.Array:
+    """Device-side inverse of ``np.packbits(axis=-1)`` (MSB-first).
+
+    packed: (..., ceil(W/8)) uint8 -> (..., W) float32 in {0, 1}. Batches
+    ship masks bit-packed (32x less host->device traffic than fp32 bitmaps);
+    the jitted step unpacks them here.
+    """
+    import jax.numpy as jnp
+
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # MSB first
+    bits = (packed[..., :, None] >> shifts) & jnp.uint8(1)
+    bits = bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+    return bits[..., :width].astype(jnp.float32)
+
+
+def unpack_batch_masks(batch: dict) -> dict:
+    """Replace ``gt_masks_packed`` with unpacked ``gt_masks`` (no-op if the
+    batch already carries raw masks)."""
+    if "gt_masks_packed" not in batch:
+        return batch
+    batch = dict(batch)
+    packed = batch.pop("gt_masks_packed")
+    width = batch["images"].shape[-2]  # masks are padded to the image width
+    batch["gt_masks"] = unpack_bits(packed, width)
+    return batch
+
+
 def upsample_masks(masks: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Bilinear-resize (..., h, w) masks to (..., H, W) on device."""
     out_shape = masks.shape[:-2] + tuple(size)

@@ -73,7 +73,14 @@ def test_train_pipeline_and_collate(dataset):
     batch, metas = collate_batch(samples, max_gt=10, pad_shape=(128, 128))
     assert batch["images"].shape == (2, 128, 128, 3)
     assert batch["gt_bboxes"].shape == (2, 10, 4)
-    assert batch["gt_masks"].shape == (2, 10, 128, 128)
+    # masks ship bit-packed; device unpack must invert np.packbits exactly
+    assert batch["gt_masks_packed"].shape == (2, 10, 128, 16)
+    from rsprompter_tpu.ops.masks import unpack_bits
+
+    raw, _ = collate_batch(samples, max_gt=10, pad_shape=(128, 128),
+                           pack_masks=False)
+    unpacked = np.asarray(unpack_bits(batch["gt_masks_packed"], 128))
+    assert (unpacked == raw["gt_masks"]).all()
     assert batch["gt_valid"].dtype == bool
     assert metas[0]["batch_input_shape"] == (128, 128)
     # valid boxes are inside the crop

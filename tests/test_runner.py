@@ -64,7 +64,11 @@ def test_runner_trains_validates_and_resumes(tmp_path):
 
     model = _model()
     batch_np, _ = next(iter(train_loader))
-    batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+    from rsprompter_tpu.ops.masks import unpack_batch_masks
+
+    batch = unpack_batch_masks(
+        {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+    )
     variables = model.init(
         {"params": jax.random.PRNGKey(0)}, batch, jax.random.PRNGKey(1),
         method="loss",

@@ -42,7 +42,8 @@ def main():
         build_train_pipeline,
     )
     from rsprompter_tpu.engine.checkpoint import load_sam_pretrained
-    from rsprompter_tpu.engine.optim import build_optimizer
+    from rsprompter_tpu.ops.masks import unpack_batch_masks
+    from rsprompter_tpu.engine.optim import build_optimizer, warmup_cosine_schedule
     from rsprompter_tpu.engine.runner import Runner
     from rsprompter_tpu.engine.train_state import TrainState
     from rsprompter_tpu.utils.torch_convert import load_torch_checkpoint
@@ -95,7 +96,7 @@ def main():
     variables = jax.jit(
         lambda: model.init(
             {"params": jax.random.PRNGKey(cfg.get("seed", 0))},
-            batch, jax.random.PRNGKey(1), method="loss",
+            unpack_batch_masks(batch), jax.random.PRNGKey(1), method="loss",
         )
     )()
     params = variables["params"]
@@ -130,6 +131,9 @@ def main():
     max_epochs = cfg.get("max_epochs", 12)
     steps_per_epoch = max(len(train_loader), 1)
     freeze, override = freeze_paths_for(cfg.model)
+    sched = warmup_cosine_schedule(
+        base_lr, max_epochs * steps_per_epoch, cfg.get("warmup_iters", 50)
+    )
     tx, _ = build_optimizer(
         params,
         base_lr=base_lr,
@@ -138,6 +142,8 @@ def main():
         warmup_steps=cfg.get("warmup_iters", 50),
         freeze_paths=freeze,
         train_paths_override=override,
+        schedule=sched,
+        grad_clip=cfg.get("grad_clip"),
     )
     state = TrainState.create(params, variables.get("batch_stats"), tx)
 
@@ -160,6 +166,7 @@ def main():
         make_step=make_step,
         mesh=mesh,
         tp_rules=tp_rules,
+        lr_schedule=sched,
     )
     runner.train(state, resume=args.resume)
 
