@@ -187,9 +187,13 @@ _PALETTE = [
 ]
 
 
-def draw_predictions(img: np.ndarray, pred: Dict[str, Any]) -> np.ndarray:
-    """Draw boxes/masks/scores (the DetLocalVisualizer analogue,
-    reference ``mmdet/visualization/local_visualizer.py:25``)."""
+def draw_predictions(
+    img: np.ndarray, pred: Dict[str, Any], classes=None
+) -> np.ndarray:
+    """Draw boxes/masks/scores with per-class palette + label text (the
+    DetLocalVisualizer analogue, reference
+    ``mmdet/visualization/local_visualizer.py:25``). ``classes`` supplies
+    dataset label names (e.g. dataset.metainfo['classes'])."""
     import cv2
 
     vis = img.astype(np.uint8).copy()
@@ -200,8 +204,13 @@ def draw_predictions(img: np.ndarray, pred: Dict[str, Any]) -> np.ndarray:
         color = _PALETTE[int(label) % len(_PALETTE)]
         x1, y1, x2, y2 = [int(v) for v in box]
         cv2.rectangle(vis, (x1, y1), (x2, y2), color, 2)
+        name = (
+            classes[int(label)]
+            if classes is not None and int(label) < len(classes)
+            else str(int(label))
+        )
         cv2.putText(
-            vis, f"{int(label)}:{score:.2f}", (x1, max(y1 - 4, 10)),
+            vis, f"{name}:{score:.2f}", (x1, max(y1 - 4, 10)),
             cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1,
         )
         if masks is not None and i < len(masks):

@@ -49,6 +49,7 @@ class Runner:
         mesh=None,  # jax.sharding.Mesh: shard validate's predict on 'data'
         tp_rules=(),
         lr_schedule=None,  # optax schedule for lr logging (LogProcessor parity)
+        vis_backends=None,  # list of LocalVisBackend/WandbVisBackend
         save_best=("coco/bbox_mAP", "coco/segm_mAP"),  # reference
         # _base_/rsprompter_anchor.py:9: save_best on BOTH metrics
     ):
@@ -65,7 +66,11 @@ class Runner:
         self.num_classes = num_classes
         self.rng = jax.random.PRNGKey(seed)
         os.makedirs(work_dir, exist_ok=True)
-        self.log_path = os.path.join(work_dir, "metrics.jsonl")
+        from rsprompter_tpu.engine.vis_backend import LocalVisBackend
+
+        self.vis_backends = (
+            list(vis_backends) if vis_backends else [LocalVisBackend(work_dir)]
+        )
         self.make_step = make_step
         self.predict_fn = predict_fn
         self.vis_interval = vis_interval
@@ -81,8 +86,8 @@ class Runner:
             k: (float(v) if isinstance(v, (np.floating, np.ndarray, jax.Array)) else v)
             for k, v in record.items()
         }
-        with open(self.log_path, "a") as f:
-            f.write(json.dumps(record) + "\n")
+        for backend in self.vis_backends:
+            backend.log_scalars(record, step=record.get("iter"))
         msg = " ".join(
             f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
             for k, v in record.items()
@@ -180,6 +185,11 @@ class Runner:
             self._predict_cache = sharded
         else:
             self._predict_cache = jax.jit(predict)
+        # AvoidOOM analogue (reference mmdet/utils/memory.py:78): on
+        # RESOURCE_EXHAUSTED, retry the predict with the batch halved
+        from rsprompter_tpu.utils.memory import oom_guard
+
+        self._predict_cache = oom_guard(self._predict_cache)
         return self._predict_cache
 
     def validate(self, state: TrainState) -> Dict[str, float]:
@@ -232,9 +242,10 @@ class Runner:
             )
             vis_dir = os.path.join(self.work_dir, "vis")
             os.makedirs(vis_dir, exist_ok=True)
+            classes = (self.val_dataset.metainfo or {}).get("classes")
             cv2.imwrite(
                 os.path.join(vis_dir, f"val_{index}.jpg"),
-                draw_predictions(img.astype(np.float32), pred),
+                draw_predictions(img.astype(np.float32), pred, classes=classes),
             )
         except Exception as e:  # visualization must never break training
             print(f"vis failed: {e}")

@@ -94,3 +94,26 @@ def test_runner_trains_validates_and_resumes(tmp_path):
     # validation metrics were computed (values near 0 for a random model)
     lines = open(tmp_path / "metrics.jsonl").read()
     assert "coco/bbox_mAP" in lines
+
+
+def test_vis_backends(tmp_path):
+    """LocalVisBackend JSONL + WandbVisBackend offline fallback."""
+    from rsprompter_tpu.engine.vis_backend import build_vis_backends
+
+    backends = build_vis_backends(
+        [dict(type="LocalVisBackend"),
+         dict(type="WandbVisBackend",
+              init_kwargs=dict(project="rsprompter-whu", group="anchor"))],
+        str(tmp_path),
+    )
+    for b in backends:
+        b.log_scalars({"loss": 1.5, "iter": 10}, step=10)
+        b.close()
+    import json as _json
+    local = [_json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert local[0]["loss"] == 1.5
+    offline = list((tmp_path / "wandb").glob("*.jsonl"))
+    assert offline, "wandb fallback file missing"
+    recs = [_json.loads(l) for l in open(offline[0])]
+    assert recs[0]["_meta"]["project"] == "rsprompter-whu"
+    assert any(r.get("loss") == 1.5 for r in recs)

@@ -108,6 +108,9 @@ def main():
         )
     else:
         predict = jax.jit(lambda v, b: model.apply(v, b, method=method))
+    from rsprompter_tpu.utils.memory import oom_guard
+
+    predict = oom_guard(predict)  # AvoidOOM analogue: halve batch on OOM
 
     metric = CocoMetric(num_classes=cfg.model.get("num_classes", 1))
     id_to_idx = {d["img_id"]: i for i, d in enumerate(dataset.data_list)}

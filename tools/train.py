@@ -45,6 +45,7 @@ def main():
     from rsprompter_tpu.ops.masks import unpack_batch_masks
     from rsprompter_tpu.engine.optim import build_optimizer, warmup_cosine_schedule
     from rsprompter_tpu.engine.runner import Runner
+    from rsprompter_tpu.engine.vis_backend import build_vis_backends
     from rsprompter_tpu.engine.train_state import TrainState
     from rsprompter_tpu.utils.torch_convert import load_torch_checkpoint
 
@@ -167,6 +168,7 @@ def main():
         mesh=mesh,
         tp_rules=tp_rules,
         lr_schedule=sched,
+        vis_backends=build_vis_backends(cfg.get("vis_backends"), work_dir),
     )
     runner.train(state, resume=args.resume)
 
