@@ -102,13 +102,21 @@ class Runner:
             path = latest_checkpoint(ckpt_dir)
             if path:
                 state = restore_checkpoint(path, state)
+                # re-align the sampler's epoch-seeded shuffle with the
+                # restored step (the DistSamplerSeedHook analogue, reference
+                # _base_/rsprompter_anchor.py:10) so resumed runs see the
+                # same data order they would have unresumed
+                spe = max(len(self.train_loader), 1)
+                self.train_loader.epoch = int(state.step) // spe
                 print(f"resumed from {path}")
         step_fn = self.make_step or make_train_step(self.model, self.tx)
 
         it = int(state.step)
+        spe = max(len(self.train_loader), 1)
+        start_epoch = min(it // spe, self.max_epochs)
         last_log_t = time.perf_counter()
         last_log_it = it
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             for batch_np, metas in self.train_loader:
                 batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
                 state, metrics = step_fn(state, batch, self.rng)

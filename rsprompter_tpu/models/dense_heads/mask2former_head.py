@@ -40,7 +40,7 @@ from rsprompter_tpu.models.task_modules.hungarian import (
     bce_cost,
     classification_cost,
     dice_cost,
-    hungarian_match,
+    hungarian_match_batched,
 )
 from rsprompter_tpu.ops.point_utils import sample_mask_points, uncertain_point_coords
 
@@ -331,25 +331,41 @@ class Mask2FormerHead(nn.Module):
         cls_list, mask_list, plus_list, _ = self(feats, image_embeddings, image_pe)
         losses: Dict[str, jax.Array] = {}
         n_layers = len(cls_list)
+        # phase 1: every layer's cost matrix on device, then ONE host
+        # callback solves all (layer, image) assignments — on the remote TPU
+        # a callback's transport latency dwarfs the scipy solve, so
+        # n_layers x B round-trips collapse into one
+        costs = []
+        for li in range(n_layers):
+            lr = jax.random.fold_in(rng, li)
+            costs.append(self._match_cost(
+                lr, cls_list[li],
+                plus_list[li]
+                if (self.sam_prompting and self.decoder_plus)
+                else mask_list[li],
+                gt_labels, gt_masks, gt_valid,
+            ))
+        matched_all = hungarian_match_batched(
+            jnp.stack(costs),  # (L, B, Q, G)
+            jnp.broadcast_to(gt_valid[None], (n_layers,) + gt_valid.shape),
+        )
+        # phase 2: per-layer losses under the precomputed matches
         for li in range(n_layers):
             lr = jax.random.fold_in(rng, li)
             layer_losses = self._loss_single(
                 lr, cls_list[li], mask_list[li], plus_list[li],
-                gt_labels, gt_masks, gt_valid,
+                gt_labels, gt_masks, gt_valid, matched_all[li],
             )
             prefix = "" if li == n_layers - 1 else f"d{li}."
             for k, v in layer_losses.items():
                 losses[f"{prefix}{k}"] = v
         return losses
 
-    def _loss_single(self, rng, cls_pred, mask_pred, mask_plus,
-                     gt_labels, gt_masks, gt_valid):
+    def _match_cost(self, rng, cls_pred, match_src, gt_labels, gt_masks, gt_valid):
+        """(B, Q, G) Hungarian cost on shared random points (device-side)."""
         b, q = cls_pred.shape[:2]
         g = gt_labels.shape[1]
-        match_src = mask_plus if (self.sam_prompting and self.decoder_plus) else mask_pred
-
-        # --- Hungarian matching on shared random points ---
-        r_match, r_pts = jax.random.split(rng)
+        r_match, _ = jax.random.split(rng)
         pts = jax.random.uniform(r_match, (b, self.num_points, 2))
 
         def cost_one(cp, mp, gl, gm, gv, p):
@@ -365,12 +381,17 @@ class Mask2FormerHead(nn.Module):
             )
             return jnp.where(gv[None, :], cost, 1e8)
 
-        cost = jax.vmap(cost_one)(
+        return jax.vmap(cost_one)(
             jax.lax.stop_gradient(cls_pred),
             jax.lax.stop_gradient(match_src),
             gt_labels, gt_masks, gt_valid, pts,
         )
-        matched_q = jax.vmap(hungarian_match)(cost, gt_valid)  # (B, G)
+
+    def _loss_single(self, rng, cls_pred, mask_pred, mask_plus,
+                     gt_labels, gt_masks, gt_valid, matched_q):
+        b, q = cls_pred.shape[:2]
+        g = gt_labels.shape[1]
+        _, r_pts = jax.random.split(rng)
 
         # --- classification loss (per query) ---
         # invalid GT rows scatter into a dummy extra slot (dropped by slicing)

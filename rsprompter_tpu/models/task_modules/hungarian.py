@@ -49,6 +49,35 @@ def hungarian_match(cost: jax.Array, gt_valid: jax.Array) -> jax.Array:
     )
 
 
+def _lsa_host_batched(cost: np.ndarray, gt_valid: np.ndarray) -> np.ndarray:
+    """cost (N, Q, G), gt_valid (N, G) -> (N, G) matched query per gt."""
+    return np.stack([
+        _lsa_host(cost[i], gt_valid[i]) for i in range(cost.shape[0])
+    ])
+
+
+def hungarian_match_batched(cost: jax.Array, gt_valid: jax.Array) -> jax.Array:
+    """Batched matching in ONE host round-trip.
+
+    cost (..., Q, G), gt_valid (..., G) -> (..., G). The query head stacks
+    every decoder layer's cost matrix and calls this once per forward —
+    on a remote TPU a host callback costs far more in transport latency
+    than the scipy solve, so layers x batch round-trips collapse to one
+    (reference cost anchor: per-image scipy at
+    mmdet/rsprompter/models.py:555).
+    """
+    *lead, q, g = cost.shape
+    n = int(np.prod(lead)) if lead else 1
+    out = jax.pure_callback(
+        _lsa_host_batched,
+        jax.ShapeDtypeStruct((n, g), jnp.int32),
+        cost.astype(jnp.float32).reshape(n, q, g),
+        gt_valid.reshape(n, g),
+        vmap_method="sequential",
+    )
+    return out.reshape(*lead, g)
+
+
 def classification_cost(cls_logits: jax.Array, gt_labels: jax.Array) -> jax.Array:
     """-softmax prob of the gt class: (Q, C+1), (G,) -> (Q, G)."""
     probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)

@@ -56,3 +56,19 @@ def process_info():
         local_devices=len(jax.local_devices()),
         global_devices=len(jax.devices()),
     )
+
+
+def local_batch_to_global(batch, mesh):
+    """Assemble per-host batch shards into global arrays on a multi-host mesh.
+
+    Each host loads its own shard (``DataLoader(shard_id=process_index,
+    num_shards=process_count)`` — the DistSampler analogue) and this stitches
+    them into globally-sharded arrays for the pjit step: the multi-host
+    version of the single-host "just pass numpy to jit" path.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+    )
