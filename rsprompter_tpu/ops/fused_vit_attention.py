@@ -6,11 +6,13 @@ Replaces ``flash_attention_rel_pos`` as the encoder's attention engine
 (scripts/perf_probe.py) showed the v1 path HBM/VPU-bound, not MXU-bound;
 three structural changes fix that:
 
-1. **Big-matmul rel-pos factors.** The gathered per-(q, k) bias factors
-   ``rel_h[q, kr] = q . T_h[(qr - kr) + L - 1]`` were a batched einsum over
-   tiny per-row matmuls (~2.1 ms/layer measured). Instead: ONE well-shaped
-   matmul against the raw table ``q @ T^T`` (M=B*S*n, K=64, N=2L-1), then a
-   static minor-dim take_along_axis realignment (~1.3 ms for both tables).
+1. **Gather-free rel-pos factors.** The per-(q, k) bias factors
+   ``rel_h[q, kr] = q . T_h[(qr - kr) + L - 1]`` come from a grouped einsum
+   against statically pre-gathered slices of the tiny raw table, emitted in
+   flipped column order (j = L-1-kr) so the realignment is the contiguous
+   slice ``qr + j`` (the flip absorbs into the expansion matrix). In-context
+   A/B on chip: einsum beats both take_along_axis (-2 ms) and a staircase
+   reshape (-12 ms) across the 4 global layers @bs8.
 
 2. **Single K=128 bias expansion.** [rel_h | rel_w] packed per head multiply
    ONE 0/1 expansion matrix E (2L, S) inside the kernel — one MXU pass
@@ -59,12 +61,15 @@ def rel_factors(
     rel_pos_w: jax.Array,
     hw: Tuple[int, int],
 ) -> jax.Array:
-    """Gathered factors (B, n, S, 2L), L = max(h, w): [rel_h pad L | rel_w pad L].
+    """Factors (B, n, S, 2L), L = max(h, w): [rel_h pad L | rel_w pad L].
 
-    One big matmul against each raw table (M = B*S*n, K = 64) followed by a
-    static minor-dim ``take_along_axis`` realignment
-    (``rel[q, k] = full[q, (qpos - kpos) + L - 1]``) — measured ~2x faster
-    than the per-row batched einsum over pre-gathered (q, k, d) tables.
+    Column order is FLIPPED: entry j holds the factor for key offset
+    ``kr = h-1-j`` (``rel[q, kr] = q . T[(qr - kr) + h - 1]`` = the j-th
+    element of ``(q @ T^T)[qr : qr+h]``). The flip costs nothing here — it
+    absorbs into :func:`_expansion_matrix`, which one-hots ``h-1-j`` — and
+    keeps the realignment a static pre-gather of the tiny raw table
+    (indices ``qr + j``) instead of a per-(q, k) minor-dim gather of the
+    big factor tensor.
     """
     h, w = hw
     b, n, s, d = q.shape
@@ -73,28 +78,18 @@ def rel_factors(
     tw = _resize_table(rel_pos_w, 2 * w - 1).astype(q.dtype)
     lmax = max(h, w)
 
-    if s > 512:
-        # global grid: one big matmul against the raw table, then a static
-        # minor-dim gather (fast at this scale; the batched einsum below
-        # pays ~2 ms in row-major<->batch-major relayouts here)
-        qf = q.reshape(b * n * s, d)
-        full_h = (qf @ th.T).reshape(b * n, h, w, 2 * h - 1)
-        full_w = (qf @ tw.T).reshape(b * n, h, w, 2 * w - 1)
-        idx_h = jnp.arange(h)[:, None] - jnp.arange(h)[None, :] + (h - 1)
-        idx_w = jnp.arange(w)[:, None] - jnp.arange(w)[None, :] + (w - 1)
-        rel_h = jnp.take_along_axis(full_h, idx_h[None, :, None, :], axis=-1)
-        rel_w = jnp.take_along_axis(full_w, idx_w[None, None, :, :], axis=-1)
-    else:
-        # window grid: pre-gather the tiny tables to (q, k, d) and contract —
-        # the arrays are small enough that the batched einsum wins (the
-        # take_along_axis route pays ~3.7 ms in minor-dim gathers here)
-        qg = q.reshape(b * n, h, w, d)
-        idx_h = jnp.arange(h)[:, None] - jnp.arange(h)[None, :] + (h - 1)
-        idx_w = jnp.arange(w)[:, None] - jnp.arange(w)[None, :] + (w - 1)
-        th_g = th[idx_h]  # (h, h, d)
-        tw_g = tw[idx_w]  # (w, w, d)
-        rel_h = jnp.einsum("bhwc,hkc->bhwk", qg, th_g)
-        rel_w = jnp.einsum("bhwc,wkc->bhwk", qg, tw_g)
+    # pre-gather the tiny raw tables to (qpos, j, d) and contract with a
+    # grouped einsum. In-context A/B on chip (global 64x64 grid, bs8, 4
+    # layers): einsum 47.4 ms vs minor-dim take_along_axis 49.3 ms vs
+    # staircase reshape 59.5 ms — isolated microbenches rank these
+    # differently, but embedded in the layer the einsum wins.
+    qg = q.reshape(b * n, h, w, d)
+    idx_h = jnp.arange(h)[:, None] + jnp.arange(h)[None, :]  # [qr, j] -> qr+j
+    idx_w = jnp.arange(w)[:, None] + jnp.arange(w)[None, :]
+    th_g = th[idx_h]  # (h, h, d)
+    tw_g = tw[idx_w]  # (w, w, d)
+    rel_h = jnp.einsum("bhwc,hjc->bhwj", qg, th_g)
+    rel_w = jnp.einsum("bhwc,wjc->bhwj", qg, tw_g)
 
     if h < lmax:
         rel_h = jnp.pad(rel_h, ((0, 0), (0, 0), (0, 0), (0, lmax - h)))
@@ -105,13 +100,16 @@ def rel_factors(
 
 
 def _expansion_matrix(hw: Tuple[int, int], dtype) -> jax.Array:
-    """E (2L, S): rows 0:L one-hot on token row, rows L:2L one-hot on col."""
+    """E (2L, S) for the FLIPPED factor layout of :func:`rel_factors`:
+    row j of the top half one-hots tokens whose grid row is ``h-1-j``; row j
+    of the bottom half one-hots grid col ``w-1-j``. Padding rows (j >= h or
+    j >= w) match nothing and stay zero."""
     h, w = hw
     lmax = max(h, w)
     rows = jnp.repeat(jnp.arange(h), w)
     cols = jnp.tile(jnp.arange(w), h)
-    eh = (rows[None, :] == jnp.arange(lmax)[:, None]).astype(dtype)
-    ew = (cols[None, :] == jnp.arange(lmax)[:, None]).astype(dtype)
+    eh = (rows[None, :] == (h - 1 - jnp.arange(lmax))[:, None]).astype(dtype)
+    ew = (cols[None, :] == (w - 1 - jnp.arange(lmax))[:, None]).astype(dtype)
     return jnp.concatenate([eh, ew], axis=0)  # (2L, S)
 
 
@@ -231,8 +229,9 @@ def _reference_attention(qkv, rel_pos_h, rel_pos_w, hw, chunk=512):
 
     if rel_pos_h is not None:
         packed = rel_factors(q, rel_pos_h, rel_pos_w, hw)
-        rel_h = packed[..., :h].reshape(b * n, s, h)
-        rel_w = packed[..., lmax : lmax + w].reshape(b * n, s, w)
+        # un-flip the j = L-1-kr column order (see rel_factors docstring)
+        rel_h = packed[..., :h][..., ::-1].reshape(b * n, s, h)
+        rel_w = packed[..., lmax : lmax + w][..., ::-1].reshape(b * n, s, w)
     else:
         rel_h = jnp.zeros((b * n, s, h), qkv.dtype)
         rel_w = jnp.zeros((b * n, s, w), qkv.dtype)

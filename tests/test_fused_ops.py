@@ -79,7 +79,11 @@ def test_fused_attention_grad_matches_reference():
 
 
 def test_rel_factors_match_gathered_tables():
-    """Big-matmul + take_along_axis == einsum over pre-gathered tables."""
+    """Staircase big-matmul factors == einsum over pre-gathered tables.
+
+    rel_factors emits the FLIPPED column order (entry j <-> key offset
+    L-1-j, absorbed into the expansion matrix), so flip before comparing.
+    """
     from rsprompter_tpu.ops.attention import decomposed_rel_pos_tables
 
     h, w, n = 33, 33, 2  # odd grid > 512 tokens exercises the global branch
@@ -93,8 +97,32 @@ def test_rel_factors_match_gathered_tables():
     ref_h = np.einsum("nhwc,hkc->nhwk", qg, np.asarray(rh_tab))
     ref_w = np.einsum("nhwc,wkc->nhwk", qg, np.asarray(rw_tab))
     got = np.asarray(packed).reshape(n, h, w, 2 * h)
-    np.testing.assert_allclose(got[..., :h], ref_h, atol=1e-4)
-    np.testing.assert_allclose(got[..., h:], ref_w, atol=1e-4)
+    np.testing.assert_allclose(got[..., :h][..., ::-1], ref_h, atol=1e-4)
+    np.testing.assert_allclose(got[..., h:][..., ::-1], ref_w, atol=1e-4)
+
+
+def test_rel_factors_flip_consistency_window_branch():
+    """Window (einsum) branch emits the same flipped layout as the global
+    (staircase) branch, and the expansion matrix undoes the flip: the
+    expanded bias must equal the directly-gathered decomposed bias."""
+    from rsprompter_tpu.ops.attention import decomposed_rel_pos_tables
+    from rsprompter_tpu.ops.fused_vit_attention import _expansion_matrix
+
+    h, w, n = 7, 7, 2  # s = 49 <= 512 -> window branch
+    s = h * w
+    q = _rand(0, (1, n, s, 64))
+    th = _rand(1, (2 * h - 1, 64), 0.2)
+    tw = _rand(2, (2 * w - 1, 64), 0.2)
+    packed = np.asarray(rel_factors(q, th, tw, (h, w)))  # (1, n, s, 2h)
+    e = np.asarray(_expansion_matrix((h, w), jnp.float32))  # (2h, s)
+    bias = packed.astype(np.float32) @ e  # (1, n, s, s)
+
+    rh_tab, rw_tab = decomposed_rel_pos_tables(th, tw, (h, w), (h, w))
+    qg = np.asarray(q).reshape(n, h, w, 64)
+    ref_h = np.einsum("nhwc,hkc->nhwk", qg, np.asarray(rh_tab))
+    ref_w = np.einsum("nhwc,wkc->nhwk", qg, np.asarray(rw_tab))
+    ref = (ref_h[..., :, None] + ref_w[..., None, :]).reshape(n, s, s)
+    np.testing.assert_allclose(bias[0], ref, atol=1e-4)
 
 
 def test_fused_mlp_matches_xla_reference():
