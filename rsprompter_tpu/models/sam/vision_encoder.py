@@ -27,7 +27,10 @@ from rsprompter_tpu.models.sam.common import MLPBlock, SamLayerNorm
 from rsprompter_tpu.models.sam.configs import SamVisionConfig
 from rsprompter_tpu.ops.attention import attention_rel_pos
 from rsprompter_tpu.ops.fused_mlp import fused_ln_qkv, fused_mlp_residual
-from rsprompter_tpu.ops.fused_vit_attention import fused_qkv_attention
+from rsprompter_tpu.ops.fused_vit_attention import (
+    fused_qkv_attention,
+    fused_qkv_attention_pair,
+)
 
 
 def window_partition(x: jax.Array, window: int) -> Tuple[jax.Array, Tuple[int, int]]:
@@ -147,11 +150,16 @@ class _HeadMajorDense(nn.Module):
     """Dense with (in, heads*head_dim) params computed as an einsum into the
     head-major layout (B, heads, S, head_dim) the fused kernel consumes.
     Parameter tree is identical to ``nn.Dense`` (kernel/bias) for checkpoint
-    parity; the head split happens at trace time."""
+    parity; the head split happens at trace time.
+
+    ``pack_pairs=True`` emits (B, heads/2, S, 2*head_dim) with two adjacent
+    heads side by side in the minor dim — free at the source (adjacent head
+    columns regroup by reshape) and lane-dense for the pallas kernels."""
 
     heads: int  # e.g. 3*num_heads for packed qkv
     head_dim: int
     use_bias: bool = True
+    pack_pairs: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -169,6 +177,8 @@ class _HeadMajorDense(nn.Module):
         if lora is not None:
             la, lb, scale = lora
             y = y + ((x.astype(dtype) @ la.astype(dtype)) @ lb.astype(dtype)) * scale
+        if self.pack_pairs:
+            return y.reshape(b, s, n // 2, 2 * d).transpose(0, 2, 1, 3)
         # explicit head-major transpose: cheaper than letting XLA plan the
         # 'bsc,ncd->bnsd' einsum (it emits a lane-hostile 4D transpose)
         return y.reshape(b, s, n, d).transpose(0, 2, 1, 3)
@@ -244,9 +254,24 @@ class SamVisionAttention(nn.Module):
 
         fused_ok = hd == 64 and (nh % 2 == 0 or h * w <= 512)
         if self.attn_impl == "fused" and fused_ok:
-            # head-major packed path: qkv straight into the kernel layout
-            # (B, 3n, S, 64) — no (B, heads, S, d) transposes anywhere
             x2 = x.reshape(b, h * w, c)
+            if not self.global_attn and nh % 2 == 0:
+                # window layers: PAIR-PACKED lanes end to end. The 64-lane
+                # per-head blocks left every VMEM tile half empty (a pure
+                # copy over them cost 1.9 ms on chip); packing two adjacent
+                # heads into 128 lanes is free at the qkv reshape and makes
+                # both the rel-factor einsum and the kernel DMA dense.
+                qkv_p = _HeadMajorDense(
+                    heads=3 * nh, head_dim=hd, use_bias=self.qkv_bias,
+                    pack_pairs=True, dtype=self.dtype, name="qkv",
+                )(x2, lora=lora)
+                out = fused_qkv_attention_pair(qkv_p, rel_pos_h, rel_pos_w, (h, w))
+                out = _HeadMajorProj(
+                    features=self.hidden_size, dtype=self.dtype, name="proj"
+                )(out)
+                return out.reshape(b, h, w, self.hidden_size)
+            # global layers: head-major packed path, qkv straight into the
+            # kernel layout (B, 3n, S, 64) — no (B, heads, S, d) transposes
             if ln_params is not None:
                 # the layer's LN1 fused into the qkv kernel (global layers,
                 # no LoRA — the layer only passes ln_params in that case)

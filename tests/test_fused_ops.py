@@ -185,3 +185,41 @@ def test_patch_embed_space_to_depth_equals_conv():
     cp = {"params": p["params"]["projection"]}
     ref = conv.apply(cp, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("hw,heads", [((8, 8), 4), ((14, 14), 2)])
+def test_pair_packed_window_attention_matches_xla(hw, heads):
+    """Pair-packed lanes (two heads side by side) == per-head XLA reference."""
+    from rsprompter_tpu.ops.fused_vit_attention import (
+        _pack_pairs,
+        _unpack_pairs,
+        fused_qkv_attention_pair,
+    )
+
+    h, w = hw
+    s = h * w
+    qkv = _rand(0, (2, 3 * heads, s, 64))
+    th = _rand(1, (2 * h - 1, 64), 0.2)
+    tw = _rand(2, (2 * w - 1, 64), 0.2)
+    qkv_p = _pack_pairs(qkv)
+    np.testing.assert_allclose(  # pack/unpack are inverses
+        np.asarray(_unpack_pairs(qkv_p)), np.asarray(qkv), atol=0
+    )
+    out = _unpack_pairs(fused_qkv_attention_pair(qkv_p, th, tw, hw))
+    ref = attention_rel_pos(
+        qkv[:, :heads], qkv[:, heads : 2 * heads], qkv[:, 2 * heads :],
+        hw, th, tw, impl="xla",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # gradients flow through the XLA recompute backward
+    g_pair = jax.grad(
+        lambda a, t: fused_qkv_attention_pair(a, t, t, hw).sum(), argnums=(0, 1)
+    )(qkv_p, th)
+    g_ref = jax.grad(
+        lambda a, t: fused_qkv_attention(a, t, t, hw).sum(), argnums=(0, 1)
+    )(qkv, th)
+    np.testing.assert_allclose(
+        np.asarray(_unpack_pairs(g_pair[0])), np.asarray(g_ref[0]), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(g_pair[1]), np.asarray(g_ref[1]), atol=2e-5)
