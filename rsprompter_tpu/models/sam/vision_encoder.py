@@ -255,39 +255,38 @@ class SamVisionAttention(nn.Module):
         fused_ok = hd == 64 and (nh % 2 == 0 or h * w <= 512)
         if self.attn_impl == "fused" and fused_ok:
             x2 = x.reshape(b, h * w, c)
-            if not self.global_attn and nh % 2 == 0:
-                # window layers: PAIR-PACKED lanes end to end. The 64-lane
-                # per-head blocks left every VMEM tile half empty (a pure
-                # copy over them cost 1.9 ms on chip); packing two adjacent
-                # heads into 128 lanes is free at the qkv reshape and makes
-                # both the rel-factor einsum and the kernel DMA dense.
-                qkv_p = _HeadMajorDense(
-                    heads=3 * nh, head_dim=hd, use_bias=self.qkv_bias,
-                    pack_pairs=True, dtype=self.dtype, name="qkv",
-                )(x2, lora=lora)
+            if nh % 2 == 0:
+                # PAIR-PACKED lanes end to end (window AND global layers).
+                # The 64-lane per-head blocks left every VMEM tile half
+                # empty (a pure copy over them cost 1.9 ms window / 2.7 ms
+                # global on chip); packing two adjacent heads into 128 lanes
+                # is free at the qkv reshape and makes the rel-factor
+                # einsum, the kernel DMA, and the output write dense.
+                if ln_params is not None:
+                    # LN1 fused into the qkv kernel (global layers, no LoRA)
+                    ls, lb, eps = ln_params
+                    wk, bk = _DenseParams(c, 3 * self.hidden_size, name="qkv")()
+                    dt = self.dtype or x.dtype
+                    qkv_p = fused_ln_qkv(
+                        x2.reshape(b * h * w, c).astype(dt), ls, lb,
+                        wk.astype(dt), bk.astype(dt),
+                        eps, 3 * nh, b,
+                    )
+                else:
+                    qkv_p = _HeadMajorDense(
+                        heads=3 * nh, head_dim=hd, use_bias=self.qkv_bias,
+                        pack_pairs=True, dtype=self.dtype, name="qkv",
+                    )(x2, lora=lora)
                 out = fused_qkv_attention_pair(qkv_p, rel_pos_h, rel_pos_w, (h, w))
                 out = _HeadMajorProj(
                     features=self.hidden_size, dtype=self.dtype, name="proj"
                 )(out)
                 return out.reshape(b, h, w, self.hidden_size)
-            # global layers: head-major packed path, qkv straight into the
-            # kernel layout (B, 3n, S, 64) — no (B, heads, S, d) transposes
-            if ln_params is not None:
-                # the layer's LN1 fused into the qkv kernel (global layers,
-                # no LoRA — the layer only passes ln_params in that case)
-                ls, lb, eps = ln_params
-                wk, bk = _DenseParams(c, 3 * self.hidden_size, name="qkv")()
-                dt = self.dtype or x.dtype
-                qkv_n = fused_ln_qkv(
-                    x2.reshape(b * h * w, c).astype(dt), ls, lb,
-                    wk.astype(dt), bk.astype(dt),
-                    eps, 3 * nh, b,
-                )
-            else:
-                qkv_n = _HeadMajorDense(
-                    heads=3 * nh, head_dim=hd, use_bias=self.qkv_bias,
-                    dtype=self.dtype, name="qkv",
-                )(x2, lora=lora)
+            # odd head count (small test configs): per-head kernel layout
+            qkv_n = _HeadMajorDense(
+                heads=3 * nh, head_dim=hd, use_bias=self.qkv_bias,
+                dtype=self.dtype, name="qkv",
+            )(x2, lora=lora)
             out = fused_qkv_attention(qkv_n, rel_pos_h, rel_pos_w, (h, w))
             out = _HeadMajorProj(
                 features=self.hidden_size, dtype=self.dtype, name="proj"

@@ -127,15 +127,15 @@ def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block=256):
     )(x, ln_scale[None, :], ln_bias[None, :], w1, b1[None, :], w2, b2[None, :])
 
 
-def _ln_qkv_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *, eps, heads3):
+def _ln_qkv_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *, eps, pairs3):
     x = x_ref[...]
     scale = g_ref[...].astype(jnp.float32)
     bias = b_ref[...].astype(jnp.float32)
     z = _ln(x.astype(jnp.float32), scale, bias, eps).astype(x.dtype)
     y = jax.lax.dot(z, w_ref[...], preferred_element_type=jnp.float32)
     y = y.astype(x.dtype) + bias_ref[...]
-    for j in range(heads3):
-        o_ref[0, j] = y[:, j * 64 : (j + 1) * 64]
+    for j in range(pairs3):
+        o_ref[0, j] = y[:, j * 128 : (j + 1) * 128]
 
 
 def _ln_qkv_xla(x, ln_scale, ln_bias, w, b, eps, heads3):
@@ -147,11 +147,12 @@ def _ln_qkv_xla(x, ln_scale, ln_bias, w, b, eps, heads3):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def fused_ln_qkv(x, ln_scale, ln_bias, w, b, eps, heads3, batch):
-    """LN -> qkv matmul -> head-major write, in one kernel.
+    """LN -> qkv matmul -> PAIR-PACKED head-major write, in one kernel.
 
-    x: (B*S, C) flat tokens; w: (C, heads3*64). Returns (B, heads3, S, 64) —
-    the layout the fused attention kernels consume — without the XLA-side
-    LN round-trip and 5D transpose (~0.9 ms/layer at ViT-B bs8 measured).
+    x: (B*S, C) flat tokens; w: (C, heads3*64), heads3 even. Returns
+    (B, heads3/2, S, 128) — two adjacent heads per 128-lane block, the
+    layout the pair-packed attention kernels consume — without the XLA-side
+    LN round-trip and 5D transpose, and with lane-dense output DMA.
     """
     return _ln_qkv_fwd(x, ln_scale, ln_bias, w, b, eps, heads3, batch)
 
@@ -165,12 +166,12 @@ def _ln_qkv_fwd(x, ln_scale, ln_bias, w, b, eps, heads3, batch, block=512):
         bm //= 2
     if bm < 8:
         y = _ln_qkv_xla(x, ln_scale, ln_bias, w, b, eps, heads3)
-        return y.reshape(batch, s, heads3, 64).transpose(0, 2, 1, 3)
-    kernel = functools.partial(_ln_qkv_kernel, eps=eps, heads3=heads3)
+        return y.reshape(batch, s, heads3 // 2, 128).transpose(0, 2, 1, 3)
+    kernel = functools.partial(_ln_qkv_kernel, eps=eps, pairs3=heads3 // 2)
     blocks_per_b = s // bm
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((batch, heads3, s, 64), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, heads3 // 2, s, 128), x.dtype),
         grid=(t // bm,),
         in_specs=[
             pl.BlockSpec((bm, c), lambda i: (i, 0)),
@@ -180,7 +181,7 @@ def _ln_qkv_fwd(x, ln_scale, ln_bias, w, b, eps, heads3, batch, block=512):
             pl.BlockSpec((1, heads3 * 64), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, heads3, bm, 64),
+            (1, heads3 // 2, bm, 128),
             lambda i, bpb=blocks_per_b: (i // bpb, 0, i % bpb, 0),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -202,7 +203,7 @@ def _ln_qkv_bwd_vjp(eps, heads3, batch, residuals, g):
     def ref(x, ln_scale, ln_bias, w, b):
         t = x.shape[0]
         y = _ln_qkv_xla(x, ln_scale, ln_bias, w, b, eps, heads3)
-        return y.reshape(batch, t // batch, heads3, 64).transpose(0, 2, 1, 3)
+        return y.reshape(batch, t // batch, heads3 // 2, 128).transpose(0, 2, 1, 3)
 
     _, vjp = jax.vjp(ref, x, ln_scale, ln_bias, w, b)
     return vjp(g)

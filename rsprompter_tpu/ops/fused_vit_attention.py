@@ -119,12 +119,15 @@ def rel_factors_pair(
     rel_pos_w: jax.Array,
     hw: Tuple[int, int],
 ) -> jax.Array:
-    """Factors for PAIR-PACKED heads: (B, n/2, S, 2h+2w) laid out
-    ``[h_a | h_b | w_a | w_b]`` (flipped-j order like :func:`rel_factors`).
+    """Factors for PAIR-PACKED heads: (B, n/2, S, 4L), L = max(h, w), laid
+    out ``[h_a pad L | w_a pad L | h_b pad L | w_b pad L]`` (flipped-j order
+    like :func:`rel_factors`), i.e. each head's 2L half is contiguous so the
+    global kernel lane-slices at the aligned 2L boundary and reuses the
+    per-head expansion matrix.
 
     The contraction runs at lane width 128 against block-diagonal tables —
-    measured ~free on chip vs ~2 ms for the 64-lane per-head einsum at the
-    window shapes (the dense minor dim lets XLA keep one layout throughout).
+    measured ~4-8x cheaper on chip than the 64-lane per-head einsum (the
+    dense minor dim lets XLA keep one layout throughout).
     """
     h, w = hw
     b, np_, s, d2 = q_pair.shape
@@ -132,39 +135,37 @@ def rel_factors_pair(
     assert s == h * w
     th = _resize_table(rel_pos_h, 2 * h - 1).astype(q_pair.dtype)
     tw = _resize_table(rel_pos_w, 2 * w - 1).astype(q_pair.dtype)
+    lmax = max(h, w)
     idx_h = jnp.arange(h)[:, None] + jnp.arange(h)[None, :]
     idx_w = jnp.arange(w)[:, None] + jnp.arange(w)[None, :]
     th_g = th[idx_h]  # (h, h, d)
     tw_g = tw[idx_w]  # (w, w, d)
-    zh = jnp.zeros_like(th_g)
-    zw = jnp.zeros_like(tw_g)
-    # block-diag over the lane halves: j cols [head_a | head_b]
-    t2h = jnp.concatenate(
-        [jnp.concatenate([th_g, zh], -1), jnp.concatenate([zh, th_g], -1)], 1
-    )  # (h, 2h, 2d)
-    t2w = jnp.concatenate(
-        [jnp.concatenate([tw_g, zw], -1), jnp.concatenate([zw, tw_g], -1)], 1
-    )  # (w, 2w, 2d)
+
+    def _block(tab, grp, j0):
+        """(grp, L_tab, d) table -> (grp, 4L, 2d) with the table at j offset
+        ``j0`` for lane half a and ``j0 + 2L`` for lane half b."""
+        out = jnp.zeros((grp, 4 * lmax, 2 * d), tab.dtype)
+        out = out.at[:, j0 : j0 + tab.shape[1], :d].set(tab)
+        return out.at[:, 2 * lmax + j0 : 2 * lmax + j0 + tab.shape[1], d:].set(tab)
+
+    t2h = _block(th_g, h, 0)
+    t2w = _block(tw_g, w, lmax)
     qg = q_pair.reshape(b * np_, h, w, d2)
-    rel_h = jnp.einsum("bhwc,hjc->bhwj", qg, t2h)  # (bnp, h, w, 2h)
-    rel_w = jnp.einsum("bhwc,wjc->bhwj", qg, t2w)  # (bnp, h, w, 2w)
-    packed = jnp.concatenate([rel_h, rel_w], axis=-1)
-    return packed.reshape(b, np_, s, 2 * h + 2 * w)
+    rel = jnp.einsum("bhwc,hjc->bhwj", qg, t2h) + jnp.einsum(
+        "bhwc,wjc->bhwj", qg, t2w
+    )
+    return rel.reshape(b, np_, s, 4 * lmax)
 
 
 def _pair_expansions(hw: Tuple[int, int], dtype) -> Tuple[jax.Array, jax.Array]:
-    """E_a / E_b (2h+2w, S) for the ``[h_a|h_b|w_a|w_b]`` factor layout:
+    """E_a / E_b (4L, S) for the ``[h_a|w_a|h_b|w_b]`` factor layout:
     ``f @ E_a`` expands head a's bias (head b's rows are zero) and vice
-    versa. Row j one-hots grid row ``h-1-j`` / col ``w-1-j`` (flipped j)."""
-    h, w = hw
-    rows = jnp.repeat(jnp.arange(h), w)
-    cols = jnp.tile(jnp.arange(w), h)
-    eh = (rows[None, :] == (h - 1 - jnp.arange(h))[:, None]).astype(dtype)
-    ew = (cols[None, :] == (w - 1 - jnp.arange(w))[:, None]).astype(dtype)
-    zh = jnp.zeros_like(eh)
-    zw = jnp.zeros_like(ew)
-    e_a = jnp.concatenate([eh, zh, ew, zw], axis=0)
-    e_b = jnp.concatenate([zh, eh, zw, ew], axis=0)
+    versa. Used by the window kernel (K = 4L fits one K-tile there); the
+    global kernel lane-slices f at 2L and uses :func:`_expansion_matrix`."""
+    e = _expansion_matrix(hw, dtype)  # (2L, S)
+    z = jnp.zeros_like(e)
+    e_a = jnp.concatenate([e, z], axis=0)
+    e_b = jnp.concatenate([z, e], axis=0)
     return e_a, e_b
 
 
@@ -375,40 +376,89 @@ def _window_kernel_pair(qkv_ref, f_ref, ea_ref, eb_ref, o_ref, *, scale, pairs, 
         o_ref[0, n] = jnp.concatenate(outs, axis=-1)
 
 
-def _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw):
+def _global_kernel_pair(q_ref, k_ref, v_ref, f_ref, e_ref, o_ref, *, scale, d, lmax):
+    """One (batch, head-pair, q-block) cell, heads pair-packed in lanes.
+    f lane-slices at the aligned 2L boundary; E shared between halves.
+    (Hoisting the k/v lane-splits into VMEM scratch via pl.when was measured
+    SLOWER — the per-cell slices pipeline better than the scratch round
+    trip: 44.6 vs 46.2 ms for the 4 global layers @bs8.)"""
+    e = e_ref[...]
+    qp = q_ref[0, 0]
+    kp = k_ref[0, 0]
+    vp = v_ref[0, 0]
+    fp = f_ref[0, 0]
+    outs = []
+    for half in range(2):
+        sl = slice(half * d, (half + 1) * d)
+        fs = fp[:, half * 2 * lmax : (half + 1) * 2 * lmax]
+        outs.append(
+            _attend_one(qp[:, sl], kp[:, sl], vp[:, sl], fs, e, scale, o_ref.dtype)
+        )
+    o_ref[0, 0] = jnp.concatenate(outs, axis=-1)
+
+
+def _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw, block_q=512):
     """qkv_pair: (B, 3n/2, S, 2d) lane-packed. Returns (B, n/2, S, 2d)."""
     h, w = hw
     b, n3p, s, d2 = qkv_pair.shape
     np_ = n3p // 3
     d = d2 // 2
-    assert d == HEAD_DIM and s == h * w and s <= 512
+    lmax = max(h, w)
+    assert d == HEAD_DIM and s == h * w
     scale = d ** -0.5
 
     if rel_pos_h is not None:
         factors = rel_factors_pair(qkv_pair[:, :np_], rel_pos_h, rel_pos_w, hw)
     else:
-        factors = jnp.zeros((b, np_, s, 2 * h + 2 * w), qkv_pair.dtype)
-    e_a, e_b = _pair_expansions(hw, qkv_pair.dtype)
-    kernel = functools.partial(
-        _window_kernel_pair, scale=scale, pairs=np_, d=d
-    )
+        factors = jnp.zeros((b, np_, s, 4 * lmax), qkv_pair.dtype)
+    interpret = _interpret()
+
+    if s <= 512:
+        e_a, e_b = _pair_expansions(hw, qkv_pair.dtype)
+        kernel = functools.partial(
+            _window_kernel_pair, scale=scale, pairs=np_, d=d
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, np_, s, d2), qkv_pair.dtype),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, n3p, s, d2), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, np_, s, 4 * lmax), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((4 * lmax, s), lambda i: (0, 0)),
+                pl.BlockSpec((4 * lmax, s), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, np_, s, d2), lambda i: (i, 0, 0, 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(qkv_pair, factors, e_a, e_b)
+
+    bq = block_q
+    while s % bq:
+        bq //= 2
+    e = _expansion_matrix(hw, qkv_pair.dtype)
+    kernel = functools.partial(_global_kernel_pair, scale=scale, d=d, lmax=lmax)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, np_, s, d2), qkv_pair.dtype),
-        grid=(b,),
+        grid=(b, np_, s // bq),
         in_specs=[
-            pl.BlockSpec((1, n3p, s, d2), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, np_, s, 2 * h + 2 * w), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((2 * h + 2 * w, s), lambda i: (0, 0)),
-            pl.BlockSpec((2 * h + 2 * w, s), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1, bq, d2), lambda b_, p, i: (b_, p, i, 0)),
+            pl.BlockSpec((1, 1, s, d2), lambda b_, p, i: (b_, np_ + p, 0, 0)),
+            pl.BlockSpec((1, 1, s, d2), lambda b_, p, i: (b_, 2 * np_ + p, 0, 0)),
+            pl.BlockSpec((1, 1, bq, 4 * lmax), lambda b_, p, i: (b_, p, i, 0)),
+            pl.BlockSpec((2 * lmax, s), lambda b_, p, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, np_, s, d2), lambda i: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, bq, d2), lambda b_, p, i: (b_, p, i, 0)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=_interpret(),
-    )(qkv_pair, factors, e_a, e_b)
+        interpret=interpret,
+    )(qkv_pair, qkv_pair, qkv_pair, factors, e)
 
 
 def _unpack_pairs(qkv_pair):
@@ -435,7 +485,9 @@ def fused_qkv_attention_pair(qkv_pair, rel_pos_h, rel_pos_w, hw):
         by side ([q pairs | k pairs | v pairs]); produced for free by the qkv
         projection (adjacent head columns reshape into pairs).
       rel_pos_h/w: raw (2L-1, 64) decomposed rel-pos tables, or None.
-      hw: static (h, w) with S = h*w <= 512 (window grids).
+      hw: static (h, w); S = h*w. Window grids (S <= 512) run one window
+        per grid cell; larger grids run the (batch, pair, q-block) global
+        kernel with k/v resident per pair.
 
     Returns (B, heads/2, S, 128), same lane pairing.
     """

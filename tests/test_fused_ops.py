@@ -187,7 +187,7 @@ def test_patch_embed_space_to_depth_equals_conv():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("hw,heads", [((8, 8), 4), ((14, 14), 2)])
+@pytest.mark.parametrize("hw,heads", [((8, 8), 4), ((14, 14), 2), ((32, 32), 2)])
 def test_pair_packed_window_attention_matches_xla(hw, heads):
     """Pair-packed lanes (two heads side by side) == per-head XLA reference."""
     from rsprompter_tpu.ops.fused_vit_attention import (
