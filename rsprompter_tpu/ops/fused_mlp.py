@@ -92,7 +92,8 @@ def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=1e-6):
     return _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
 
 
-def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block=256):
+def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block=128):
+    # block sweep on chip @ViT-B bs8: 128 -> 1.84 ms, 256 -> 2.24, 512 -> 2.16
     t, c = x.shape
     m = w1.shape[1]
     interpret = jax.devices()[0].platform == "cpu"
@@ -157,7 +158,8 @@ def fused_ln_qkv(x, ln_scale, ln_bias, w, b, eps, heads3, batch):
     return _ln_qkv_fwd(x, ln_scale, ln_bias, w, b, eps, heads3, batch)
 
 
-def _ln_qkv_fwd(x, ln_scale, ln_bias, w, b, eps, heads3, batch, block=512):
+def _ln_qkv_fwd(x, ln_scale, ln_bias, w, b, eps, heads3, batch, block=1024):
+    # block sweep on chip @ViT-B bs8: 1024 -> 0.73 ms, 256 -> 0.80, 512 -> 1.04
     t, c = x.shape
     s = t // batch
     interpret = jax.devices()[0].platform == "cpu"

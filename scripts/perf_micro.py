@@ -177,6 +177,51 @@ def probe_proj_global():
     return timeit(step, p, x)
 
 
+def probe_mlp_blocks():
+    """fused_mlp_residual at different block sizes (hacks _fwd defaults)."""
+    import rsprompter_tpu.ops.fused_mlp as fm
+
+    n = B * S_G
+    x = jnp.zeros((n, C), jnp.bfloat16)
+    ls = jnp.ones((C,), jnp.float32)
+    lb = jnp.zeros((C,), jnp.float32)
+    w1 = jnp.zeros((C, 4 * C), jnp.bfloat16)
+    b1 = jnp.zeros((4 * C,), jnp.bfloat16)
+    w2 = jnp.zeros((4 * C, C), jnp.bfloat16)
+    b2 = jnp.zeros((C,), jnp.bfloat16)
+    p = (ls, lb, w1, b1, w2, b2)
+
+    for block in (128, 256, 512, 1024):
+        def step(p, xx, block=block):
+            ls, lb, w1, b1, w2, b2 = p
+            return chain(xx, fm._fwd(xx, ls, lb, w1, b1, w2, b2, 1e-6, block=block))
+
+        dt = timeit(step, p, x)
+        print(f"  mlp block={block:5d} {dt * 1e3:8.3f} ms", flush=True)
+    return 0.0
+
+
+def probe_lnqkv_blocks():
+    import rsprompter_tpu.ops.fused_mlp as fm
+
+    n = B * S_G
+    x = jnp.zeros((n, C), jnp.bfloat16)
+    ls = jnp.ones((C,), jnp.float32)
+    lb = jnp.zeros((C,), jnp.float32)
+    wk = jnp.zeros((C, 3 * C), jnp.bfloat16)
+    bk = jnp.zeros((3 * C,), jnp.bfloat16)
+    p = (ls, lb, wk, bk)
+
+    for block in (256, 512, 1024, 2048):
+        def step(p, xx, block=block):
+            ls, lb, wk, bk = p
+            return chain(xx, fm._ln_qkv_fwd(xx, ls, lb, wk, bk, 1e-6, 3 * HEADS, B, block=block))
+
+        dt = timeit(step, p, x)
+        print(f"  lnqkv block={block:5d} {dt * 1e3:8.3f} ms", flush=True)
+    return 0.0
+
+
 PROBES = {k[6:]: v for k, v in list(globals().items()) if k.startswith("probe_")}
 
 
