@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from rsprompter_tpu.models.sam.common import MLPBlock, SamLayerNorm
 from rsprompter_tpu.models.sam.configs import SamVisionConfig
 from rsprompter_tpu.ops.attention import attention_rel_pos
-from rsprompter_tpu.ops.fused_mlp import fused_ln_qkv, fused_mlp_residual
+from rsprompter_tpu.ops.fused_mlp import (
+    fused_ln_qkv,
+    fused_mlp_residual,
+    fused_qkv_pair,
+)
 from rsprompter_tpu.ops.fused_vit_attention import (
     fused_qkv_attention,
     fused_qkv_attention_pair,
@@ -271,6 +275,15 @@ class SamVisionAttention(nn.Module):
                         x2.reshape(b * h * w, c).astype(dt), ls, lb,
                         wk.astype(dt), bk.astype(dt),
                         eps, 3 * nh, b,
+                    )
+                elif lora is None and self.qkv_bias:
+                    # window layers: qkv + pair-major write in one kernel
+                    # (no LN inside — windows normalize before zero-padding)
+                    wk, bk = _DenseParams(c, 3 * self.hidden_size, name="qkv")()
+                    dt = self.dtype or x.dtype
+                    qkv_p = fused_qkv_pair(
+                        x2.reshape(b * h * w, c).astype(dt),
+                        wk.astype(dt), bk.astype(dt), 3 * nh, b,
                     )
                 else:
                     qkv_p = _HeadMajorDense(

@@ -139,6 +139,77 @@ def _ln_qkv_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *, eps, pairs3):
         o_ref[0, j] = y[:, j * 128 : (j + 1) * 128]
 
 
+def _qkv_pair_kernel(x_ref, w_ref, bias_ref, o_ref, *, pairs3):
+    """qkv matmul -> pair-packed head-major write (no LN — the window layers
+    normalize BEFORE zero-padding/partition, so LN cannot move inside)."""
+    x = x_ref[...]
+    y = jax.lax.dot(x, w_ref[...], preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype) + bias_ref[...]
+    for j in range(pairs3):
+        o_ref[0, j] = y[:, j * 128 : (j + 1) * 128]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_qkv_pair(x, w, b, heads3, batch):
+    """x (B*S, C) flat (windowed) tokens -> (B, heads3/2, S, 128) pair-packed
+    head-major qkv, written lane-dense by the kernel instead of an XLA
+    matmul + 4-D transpose over the ~118 MB qkv tensor (the window-layer
+    equivalent of :func:`fused_ln_qkv`; measured -0.5 ms/window-layer)."""
+    return _qkv_pair_fwd(x, w, b, heads3, batch)
+
+
+def _qkv_pair_fwd(x, w, b, heads3, batch, block=1024):
+    t, c = x.shape
+    s = t // batch
+    interpret = jax.devices()[0].platform == "cpu"
+    bm = block
+    while s % bm:
+        bm //= 2
+    if bm < 8:
+        y = (x @ w).astype(x.dtype) + b
+        return y.reshape(batch, s, heads3 // 2, 128).transpose(0, 2, 1, 3)
+    kernel = functools.partial(_qkv_pair_kernel, pairs3=heads3 // 2)
+    blocks_per_b = s // bm
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, heads3 // 2, s, 128), x.dtype),
+        grid=(t // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+            pl.BlockSpec((c, heads3 * 64), lambda i: (0, 0)),
+            pl.BlockSpec((1, heads3 * 64), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, heads3 // 2, bm, 128),
+            lambda i, bpb=blocks_per_b: (i // bpb, 0, i % bpb, 0),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, w, b[None, :])
+
+
+def _qkv_pair_fwd_vjp(x, w, b, heads3, batch):
+    return _qkv_pair_fwd(x, w, b, heads3, batch), (x, w, b)
+
+
+def _qkv_pair_bwd_vjp(heads3, batch, residuals, g):
+    x, w, b = residuals
+
+    def ref(x, w, b):
+        t = x.shape[0]
+        y = (x @ w).astype(x.dtype) + b
+        return y.reshape(batch, t // batch, heads3 // 2, 128).transpose(0, 2, 1, 3)
+
+    _, vjp = jax.vjp(ref, x, w, b)
+    return vjp(g)
+
+
+fused_qkv_pair.defvjp(_qkv_pair_fwd_vjp, _qkv_pair_bwd_vjp)
+
+
 def _ln_qkv_xla(x, ln_scale, ln_bias, w, b, eps, heads3):
     """XLA fallback/backward reference: returns flat (T, heads3*64)."""
     z = _ln(x.astype(jnp.float32), ln_scale.astype(jnp.float32),
