@@ -24,36 +24,68 @@ from rsprompter_tpu.models.sam.configs import SamMaskDecoderConfig
 
 
 class SamAttention(nn.Module):
-    """MHA with channel downsampling (internal_dim = C / downsample_rate)."""
+    """MHA with channel downsampling (internal_dim = C / downsample_rate).
+
+    setup-style so the prompt-batched decode paths can reuse the projection
+    parameters with different contraction layouts; the parameter tree is
+    identical to the original compact form (q_proj/k_proj/v_proj/out_proj).
+    """
 
     config: SamMaskDecoderConfig
     downsample_rate: int = 1
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(self, query, key, value):
-        """query/key/value: (B, T, C) -> (B, Tq, C)."""
+    def setup(self):
         cfg = self.config
         internal = cfg.hidden_size // self.downsample_rate
-        nh = cfg.num_attention_heads
-        hd = internal // nh
-        q = nn.Dense(internal, dtype=self.dtype, name="q_proj")(query)
-        k = nn.Dense(internal, dtype=self.dtype, name="k_proj")(key)
-        v = nn.Dense(internal, dtype=self.dtype, name="v_proj")(value)
+        self._internal = internal
+        self._nh = cfg.num_attention_heads
+        self._hd = internal // self._nh
+        self.q_proj = nn.Dense(internal, dtype=self.dtype)
+        self.k_proj = nn.Dense(internal, dtype=self.dtype)
+        self.v_proj = nn.Dense(internal, dtype=self.dtype)
+        self.out_proj = nn.Dense(cfg.hidden_size, dtype=self.dtype)
 
-        def split_heads(x):
-            b, t, _ = x.shape
-            return x.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    def _split(self, x):
+        b, t, _ = x.shape
+        return x.reshape(b, t, self._nh, self._hd).transpose(0, 2, 1, 3)
 
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    def __call__(self, query, key, value):
+        """query/key/value: (B, T, C) -> (B, Tq, C)."""
+        nh, hd = self._nh, self._hd
+        q = self._split(self.q_proj(query))
+        k = self._split(self.k_proj(key))
+        v = self._split(self.v_proj(value))
         scores = jnp.einsum(
             "bntd,bnsd->bnts", q, k, preferred_element_type=jnp.float32
         ) / (hd ** 0.5)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
         out = jnp.einsum("bnts,bnsd->bntd", probs, v)
         b, _, t, _ = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, internal)
-        return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out_proj")(out)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, self._internal)
+        return self.out_proj(out)
+
+    def image_to_tokens_shared(self, img_q, tok_k, tok_v):
+        """Image->token attention with the IMAGE side shared across prompts.
+
+        img_q: (B, S, C) — queries+pe of the (prompt-independent) image
+        state; tok_k/tok_v: (B, P, T, C) per-prompt tokens. Returns the
+        per-prompt image update (B, P, S, hidden). Identical math to
+        flattening prompts into batch and calling ``__call__`` — the image
+        q_proj just runs once per image instead of once per prompt."""
+        nh, hd = self._nh, self._hd
+        b, p, t, _ = tok_k.shape
+        q = self._split(self.q_proj(img_q))  # (B, nh, S, hd)
+        kh = self.k_proj(tok_k).reshape(b, p, t, nh, hd)
+        vh = self.v_proj(tok_v).reshape(b, p, t, nh, hd)
+        scores = jnp.einsum(
+            "bnsd,bptnd->bpnst", q, kh, preferred_element_type=jnp.float32
+        ) / (hd ** 0.5)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bpnst,bptnd->bpnsd", probs, vh)
+        s = out.shape[3]
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, p, s, self._internal)
+        return self.out_proj(out)
 
 
 class SamTwoWayAttentionBlock(nn.Module):
@@ -61,45 +93,87 @@ class SamTwoWayAttentionBlock(nn.Module):
     skip_first_layer_pe: bool = False
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(self, queries, keys, query_pe, key_pe):
+    def setup(self):
         cfg = self.config
+        self.self_attn = SamAttention(cfg, 1, self.dtype)
+        self.layer_norm1 = SamLayerNorm(eps=cfg.layer_norm_eps)
+        self.cross_attn_token_to_image = SamAttention(
+            cfg, cfg.attention_downsample_rate, self.dtype
+        )
+        self.layer_norm2 = SamLayerNorm(eps=cfg.layer_norm_eps)
+        self.mlp = MLPBlock(
+            mlp_dim=cfg.mlp_dim, hidden_size=cfg.hidden_size, dtype=self.dtype
+        )
+        self.layer_norm3 = SamLayerNorm(eps=cfg.layer_norm_eps)
+        self.cross_attn_image_to_token = SamAttention(
+            cfg, cfg.attention_downsample_rate, self.dtype
+        )
+        self.layer_norm4 = SamLayerNorm(eps=cfg.layer_norm_eps)
+
+    def __call__(self, queries, keys, query_pe, key_pe):
         # (1) token self-attention
         if self.skip_first_layer_pe:
-            queries = SamAttention(cfg, 1, self.dtype, name="self_attn")(
-                queries, queries, queries
-            )
+            queries = self.self_attn(queries, queries, queries)
         else:
             q = queries + query_pe
-            attn_out = SamAttention(cfg, 1, self.dtype, name="self_attn")(q, q, queries)
-            queries = queries + attn_out
-        queries = SamLayerNorm(eps=cfg.layer_norm_eps, name="layer_norm1")(queries)
+            queries = queries + self.self_attn(q, q, queries)
+        queries = self.layer_norm1(queries)
 
         # (2) token -> image cross-attention
         q = queries + query_pe
         k = keys + key_pe
-        attn_out = SamAttention(
-            cfg, cfg.attention_downsample_rate, self.dtype, name="cross_attn_token_to_image"
-        )(q, k, keys)
-        queries = queries + attn_out
-        queries = SamLayerNorm(eps=cfg.layer_norm_eps, name="layer_norm2")(queries)
+        queries = queries + self.cross_attn_token_to_image(q, k, keys)
+        queries = self.layer_norm2(queries)
 
         # (3) MLP on tokens
-        mlp_out = MLPBlock(
-            mlp_dim=cfg.mlp_dim, hidden_size=cfg.hidden_size, dtype=self.dtype, name="mlp"
-        )(queries)
-        queries = queries + mlp_out
-        queries = SamLayerNorm(eps=cfg.layer_norm_eps, name="layer_norm3")(queries)
+        queries = queries + self.mlp(queries)
+        queries = self.layer_norm3(queries)
 
         # (4) image -> token cross-attention
         q = queries + query_pe
         k = keys + key_pe
-        attn_out = SamAttention(
-            cfg, cfg.attention_downsample_rate, self.dtype, name="cross_attn_image_to_token"
-        )(k, q, queries)
+        attn_out = self.cross_attn_image_to_token(k, q, queries)
         keys = keys + attn_out
-        keys = SamLayerNorm(eps=cfg.layer_norm_eps, name="layer_norm4")(keys)
+        keys = self.layer_norm4(keys)
         return queries, keys
+
+    def shared_first(self, queries, keys, query_pe, key_pe):
+        """First block with the image side SHARED across prompts: keys/key_pe
+        are (B, S, C) (prompt-independent until this block's image->token
+        update), queries/query_pe (B, P, T, C). The per-prompt image state
+        only materializes at step (4) — the t2i k/v projections and the i2t
+        image q projection run once per IMAGE instead of once per prompt
+        (P ~ 100 at predict time). Math identical to broadcasting keys to
+        (B*P, S, C) and running ``__call__``."""
+        b, p, t, c = queries.shape
+        flat = lambda x: x.reshape(b * p, t, c)
+        unflat = lambda x: x.reshape(b, p, t, c)
+
+        # (1) token self-attention (per prompt; tokens are tiny)
+        if self.skip_first_layer_pe:
+            queries = unflat(self.self_attn(flat(queries), flat(queries), flat(queries)))
+        else:
+            q = flat(queries + query_pe)
+            queries = queries + unflat(self.self_attn(q, q, flat(queries)))
+        queries = self.layer_norm1(queries)
+
+        # (2) token -> image: prompts ride the query-token axis; image-side
+        # k/v projections see (B, S, C) once
+        q = (queries + query_pe).reshape(b, p * t, c)
+        k = keys + key_pe
+        attn = self.cross_attn_token_to_image(q, k, keys).reshape(b, p, t, c)
+        queries = self.layer_norm2(queries + attn)
+
+        # (3) MLP on tokens
+        queries = self.layer_norm3(queries + self.mlp(queries))
+
+        # (4) image -> token: per-prompt image update (keys become (B,P,S,C))
+        attn_out = self.cross_attn_image_to_token.image_to_tokens_shared(
+            k, queries + query_pe, queries
+        )
+        keys_pp = keys[:, None] + attn_out
+        keys_pp = self.layer_norm4(keys_pp)
+        return queries, keys_pp
 
 
 class SamTwoWayTransformer(nn.Module):
@@ -107,12 +181,33 @@ class SamTwoWayTransformer(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, point_embeddings, image_embeddings, image_pe):
-        """point_embeddings (B, T, C); image_embeddings/image_pe (B, S, C)."""
+    def __call__(self, point_embeddings, image_embeddings, image_pe, shared=False):
+        """point_embeddings (B, T, C); image_embeddings/image_pe (B, S, C).
+
+        ``shared=True``: prompt-batched layout — point_embeddings
+        (B, P, T, C) with image_embeddings/image_pe (B, S, C) shared across
+        prompts. The first block runs with the image side un-broadcast
+        (P-fold less image-side projection work); subsequent blocks flatten
+        prompts into batch exactly like the reference. Returns
+        ((B*P, T, C), (B*P, S, C)) so downstream code is layout-identical."""
         cfg = self.config
         queries = point_embeddings
         keys = image_embeddings
-        for i in range(cfg.num_hidden_layers):
+        start = 0
+        if shared:
+            b, p, t, c = point_embeddings.shape
+            queries, keys_pp = SamTwoWayAttentionBlock(
+                cfg, skip_first_layer_pe=True, dtype=self.dtype, name="layers_0"
+            ).shared_first(queries, keys, point_embeddings, image_pe)
+            s = keys_pp.shape[2]
+            queries = queries.reshape(b * p, t, c)
+            keys = keys_pp.reshape(b * p, s, c)
+            point_embeddings = point_embeddings.reshape(b * p, t, c)
+            image_pe = jnp.broadcast_to(
+                image_pe[:, None], (b, p, s, c)
+            ).reshape(b * p, s, c)
+            start = 1
+        for i in range(start, cfg.num_hidden_layers):
             queries, keys = SamTwoWayAttentionBlock(
                 cfg, skip_first_layer_pe=(i == 0), dtype=self.dtype, name=f"layers_{i}"
             )(queries, keys, point_embeddings, image_pe)
@@ -169,20 +264,28 @@ class SamMaskDecoder(nn.Module):
         t = tokens.shape[2]
 
         if dense_prompt_embeddings.ndim == 5:
-            # per-prompt dense prompts (the decoder_plus path of the query head)
+            # per-prompt dense prompts (the decoder_plus path of the query
+            # head): the image state differs per prompt from the start, so
+            # prompts flatten into batch immediately
             img = image_embeddings[:, None] + dense_prompt_embeddings
+            img = jnp.broadcast_to(img, (b, p, h, w, c)).reshape(b * p, h * w, c)
+            pe = jnp.broadcast_to(
+                image_positional_embeddings[:, None], (b, p, h, w, c)
+            ).reshape(b * p, h * w, c)
+            point_emb, img_emb = SamTwoWayTransformer(
+                cfg, dtype=self.dtype, name="transformer"
+            )(tokens.reshape(b * p, t, c), img, pe)
         else:
-            img = (image_embeddings + dense_prompt_embeddings)[:, None]
-        # broadcast per-prompt: (B, P, h*w, C), flatten prompts into batch
-        img = jnp.broadcast_to(img, (b, p, h, w, c)).reshape(b * p, h * w, c)
-        pe = jnp.broadcast_to(
-            image_positional_embeddings[:, None], (b, p, h, w, c)
-        ).reshape(b * p, h * w, c)
-        tokens_flat = tokens.reshape(b * p, t, c)
-
-        point_emb, img_emb = SamTwoWayTransformer(
-            cfg, dtype=self.dtype, name="transformer"
-        )(tokens_flat, img, pe)
+            # shared dense prompt (anchor/samdet/point paths): run the first
+            # two-way block with the image side un-broadcast — P-fold less
+            # image projection work (P ~ 100 at predict time)
+            img = (image_embeddings + dense_prompt_embeddings).reshape(b, h * w, c)
+            pe = jnp.broadcast_to(
+                image_positional_embeddings, (b, h, w, c)
+            ).reshape(b, h * w, c)
+            point_emb, img_emb = SamTwoWayTransformer(
+                cfg, dtype=self.dtype, name="transformer"
+            )(tokens, img, pe, shared=True)
 
         iou_token_out = point_emb[:, 0, :]
         mask_tokens_out = point_emb[:, 1 : 1 + num_mask_tokens, :]
