@@ -18,6 +18,9 @@ def parse_args():
     p.add_argument("config")
     p.add_argument("checkpoint", nargs="?", default=None)
     p.add_argument("--cfg-options", nargs="+", default=None)
+    p.add_argument("--tta", action="store_true",
+                   help="horizontal-flip test-time augmentation "
+                        "(reference tools/test.py --tta / DetTTAModel)")
     p.add_argument("--oracle", action="store_true",
                    help="SAM-det oracle mode (GT boxes as prompts)")
     return p.parse_args()
@@ -93,6 +96,15 @@ def main():
             variables = {**variables, "params": restored["params"]}
 
     method = "oracle_predict" if args.oracle else "predict"
+    if args.tta:
+        from rsprompter_tpu.models.tta import make_tta_predict
+
+        tcfg = dict(cfg.model.get("test_cfg", {}) or {}).get("rcnn", {})
+        tta_fn = make_tta_predict(
+            model,
+            iou_thr=tcfg.get("nms_iou_thr", 0.5),
+            max_per_img=tcfg.get("max_per_img", 100),
+        )
     if mesh is not None:
         from rsprompter_tpu.parallel.mesh import batch_shardings, param_shardings
 
@@ -103,11 +115,13 @@ def main():
         b_sh = batch_shardings(batch, mesh)
         variables = jax.device_put(variables, v_sh)
         predict = jax.jit(
-            lambda v, b: model.apply(v, b, method=method),
+            tta_fn if args.tta else (lambda v, b: model.apply(v, b, method=method)),
             in_shardings=(v_sh, b_sh),
         )
     else:
-        predict = jax.jit(lambda v, b: model.apply(v, b, method=method))
+        predict = jax.jit(
+            tta_fn if args.tta else (lambda v, b: model.apply(v, b, method=method))
+        )
     from rsprompter_tpu.utils.memory import oom_guard
 
     predict = oom_guard(predict)  # AvoidOOM analogue: halve batch on OOM
