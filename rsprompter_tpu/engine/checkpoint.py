@@ -43,7 +43,11 @@ def restore_checkpoint(path: str, target):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target=jax.tree_util.tree_map(np.asarray, target))
+    # orbax requires absolute paths (save_checkpoint absolutizes; resume
+    # paths from a relative --work-dir must match)
+    return ckptr.restore(
+        os.path.abspath(path), target=jax.tree_util.tree_map(np.asarray, target)
+    )
 
 
 def _prune(ckpt_dir: str, keep: int) -> None:
