@@ -90,10 +90,18 @@ def main():
             params, _ = load_reference_checkpoint(variables["params"], sd)
             variables = {**variables, "params": params}
         else:
-            # orbax train-state checkpoint (params-only restore)
-            target = dict(params=variables["params"])
-            restored = restore_checkpoint(args.checkpoint, target)
+            # orbax train-state checkpoint: restore the full saved tree
+            # (params + batch_stats + opt_state) structure-free, keep what
+            # predict needs — a params-only target trips orbax's structure
+            # match when the checkpoint carries optimizer state
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(args.checkpoint)
+            )
             variables = {**variables, "params": restored["params"]}
+            if restored.get("batch_stats"):
+                variables["batch_stats"] = restored["batch_stats"]
 
     method = "oracle_predict" if args.oracle else "predict"
     if args.tta:
