@@ -57,25 +57,120 @@ def _lsa_host_batched(cost: np.ndarray, gt_valid: np.ndarray) -> np.ndarray:
 
 
 def hungarian_match_batched(cost: jax.Array, gt_valid: jax.Array) -> jax.Array:
-    """Batched matching in ONE host round-trip.
+    """Batched matching: ONE host round-trip on CPU, ON-DEVICE auction on TPU.
 
     cost (..., Q, G), gt_valid (..., G) -> (..., G). The query head stacks
-    every decoder layer's cost matrix and calls this once per forward —
-    on a remote TPU a host callback costs far more in transport latency
-    than the scipy solve, so layers x batch round-trips collapse to one
-    (reference cost anchor: per-image scipy at
-    mmdet/rsprompter/models.py:555).
+    every decoder layer's cost matrix and calls this once per forward.
+
+    Platform dispatch: the axon TPU backend does not implement host
+    callbacks at all (``UNIMPLEMENTED: axon_pjrt does not support host
+    send/recv callbacks``), so on non-CPU platforms the assignment runs as
+    an epsilon-scaled auction entirely on device (:func:`auction_match`) —
+    optimal to within G*eps_final of the Hungarian optimum (ties may
+    resolve differently from scipy; CPU keeps the exact callback so parity
+    tests compare bit-for-bit). Reference cost anchor: per-image scipy at
+    mmdet/rsprompter/models.py:555.
     """
     *lead, q, g = cost.shape
+    if jax.devices()[0].platform == "cpu":
+        n = int(np.prod(lead)) if lead else 1
+        out = jax.pure_callback(
+            _lsa_host_batched,
+            jax.ShapeDtypeStruct((n, g), jnp.int32),
+            cost.astype(jnp.float32).reshape(n, q, g),
+            gt_valid.reshape(n, g),
+            vmap_method="sequential",
+        )
+        return out.reshape(*lead, g)
     n = int(np.prod(lead)) if lead else 1
-    out = jax.pure_callback(
-        _lsa_host_batched,
-        jax.ShapeDtypeStruct((n, g), jnp.int32),
-        cost.astype(jnp.float32).reshape(n, q, g),
-        gt_valid.reshape(n, g),
-        vmap_method="sequential",
+    out = jax.vmap(auction_match)(
+        cost.astype(jnp.float32).reshape(n, q, g), gt_valid.reshape(n, g)
     )
     return out.reshape(*lead, g)
+
+
+def auction_match(
+    cost: jax.Array,
+    gt_valid: jax.Array,
+    eps: float = 1e-3,
+    max_rounds: int = 4096,
+) -> jax.Array:
+    """Assignment by Jacobi auction, fully on device (no host callback).
+
+    cost (Q, G) float32, gt_valid (G,) bool -> matched query per gt (G,),
+    -1 for invalid gts. Bidders are the (few) valid gts, objects the Q
+    queries; parallel bidding rounds run in a ``lax.while_loop`` until every
+    valid bidder holds an object. On termination the assignment is within
+    ``G * eps`` of the Hungarian optimum (epsilon-complementary slackness,
+    Bertsekas 1988). Single phase — epsilon-scaling with carried prices was
+    measured to truncate mid-auction on the later phases and return
+    garbage; with objects outnumbering bidders ~5:1 here, one phase
+    converges in a handful of rounds. If ``max_rounds`` is ever hit
+    (adversarial near-tie costs), remaining bidders are completed greedily
+    so the result is always a valid one-to-one assignment.
+    """
+    qn, gn = cost.shape
+    benefit = jnp.where(
+        gt_valid[None, :], -jnp.nan_to_num(cost, posinf=BIG_COST), 0.0
+    ).T  # (G, Q)
+
+    def cond(st):
+        prices, owner, assigned, it = st
+        return jnp.any(gt_valid & (assigned < 0)) & (it < max_rounds)
+
+    def body(st):
+        prices, owner, assigned, it = st
+        unassigned = gt_valid & (assigned < 0)
+        vals = benefit - prices[None, :]  # (G, Q)
+        j_star = jnp.argmax(vals, axis=1)
+        w1 = jnp.max(vals, axis=1)
+        vals2 = vals.at[jnp.arange(gn), j_star].set(-jnp.inf)
+        w2 = jnp.max(vals2, axis=1)
+        w2 = jnp.where(jnp.isfinite(w2), w2, w1 - 1.0)
+        bid = prices[j_star] + (w1 - w2) + eps  # (G,)
+        bid_mat = jnp.full((gn, qn), -jnp.inf)
+        bid_mat = bid_mat.at[jnp.arange(gn), j_star].set(
+            jnp.where(unassigned, bid, -jnp.inf)
+        )
+        best_bid = jnp.max(bid_mat, axis=0)  # (Q,)
+        winner = jnp.argmax(bid_mat, axis=0).astype(jnp.int32)
+        has_bid = best_bid > -jnp.inf
+        new_prices = jnp.where(has_bid, best_bid, prices)
+        kicked = has_bid & (owner >= 0) & (owner != winner)
+        assigned = assigned.at[jnp.where(kicked, owner, gn)].set(-1, mode="drop")
+        assigned = assigned.at[jnp.where(has_bid, winner, gn)].set(
+            jnp.where(has_bid, jnp.arange(qn, dtype=jnp.int32), -1),
+            mode="drop",
+        )
+        new_owner = jnp.where(has_bid, winner, owner)
+        return new_prices, new_owner, assigned, it + 1
+
+    prices, owner, assigned, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.zeros((qn,), jnp.float32),
+            jnp.full((qn,), -1, jnp.int32),
+            jnp.where(gt_valid, -1, 0).astype(jnp.int32),
+            0,
+        ),
+    )
+
+    # greedy completion (no-op unless max_rounds truncated the auction)
+    def fill(g, carry):
+        assigned, taken = carry
+        need = gt_valid[g] & (assigned[g] < 0)
+        avail = jnp.where(taken, -jnp.inf, benefit[g])
+        pick = jnp.argmax(avail).astype(jnp.int32)
+        assigned = assigned.at[g].set(jnp.where(need, pick, assigned[g]))
+        taken = taken.at[pick].set(jnp.where(need, True, taken[pick]))
+        return assigned, taken
+
+    taken = jnp.zeros((qn,), bool).at[
+        jnp.where(gt_valid & (assigned >= 0), assigned, qn)
+    ].set(True, mode="drop")
+    assigned, _ = jax.lax.fori_loop(0, gn, fill, (assigned, taken))
+    return jnp.where(gt_valid, assigned, -1)
 
 
 def classification_cost(cls_logits: jax.Array, gt_labels: jax.Array) -> jax.Array:

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rsprompter_tpu.apis.build import build_detector
-from rsprompter_tpu.core.config import load_config
+from rsprompter_tpu.core.config import Config
 from rsprompter_tpu.utils.testing import demo_batch
 
 BS = 2
@@ -30,7 +30,7 @@ IMG = 1024
 
 
 def _setup(config_path, bs=BS, img=IMG):
-    cfg = load_config(config_path)
+    cfg = Config.fromfile(config_path)
     model = build_detector(cfg.model)
     b = demo_batch(batch_size=bs, image_size=(img, img), max_gt=8, num_classes=10)
     batch = {k: jnp.asarray(v) for k, v in b.items()}
@@ -57,7 +57,8 @@ def anchor_loss():
 
     @jax.jit
     def step(params, batch):
-        return model.apply(params, batch, jax.random.PRNGKey(2), method="loss")
+        return model.apply(params, batch, jax.random.PRNGKey(2), method="loss",
+                           mutable=["batch_stats"])[0]
 
     dt = _time_host(step, params, batch)
     print(f"anchor loss  @{IMG}^2 bs{BS}: {dt * 1e3:8.1f} ms/step", flush=True)
@@ -68,7 +69,8 @@ def query_loss():
 
     @jax.jit
     def step(params, batch):
-        return model.apply(params, batch, jax.random.PRNGKey(2), method="loss")
+        return model.apply(params, batch, jax.random.PRNGKey(2), method="loss",
+                           mutable=["batch_stats"])[0]
 
     dt = _time_host(step, params, batch)
     print(f"query loss   @{IMG}^2 bs{BS}: {dt * 1e3:8.1f} ms/step", flush=True)

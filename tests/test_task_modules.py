@@ -81,3 +81,45 @@ def test_random_sampler_caps_positives():
     assigned = jnp.concatenate([jnp.ones(100, jnp.int32), jnp.zeros(100, jnp.int32)])
     s = random_sample_padded(rng, assigned, num=64, pos_fraction=0.25)
     assert np.asarray(s.is_pos).sum() == 16
+
+
+def test_auction_match_reaches_hungarian_optimum():
+    """On-device auction (the TPU path — axon has no host callbacks) lands
+    within G*eps of scipy's optimal total cost on random instances, and
+    produces a valid one-to-one assignment."""
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+
+    import jax.numpy as jnp
+    from rsprompter_tpu.models.task_modules.hungarian import auction_match
+
+    rs = np.random.RandomState(0)
+    for trial in range(8):
+        q, g = 40, rs.randint(1, 20)
+        cost = rs.randn(q, g).astype(np.float32) * 3.0
+        valid = rs.rand(g) > 0.3
+        out = np.asarray(auction_match(jnp.asarray(cost), jnp.asarray(valid)))
+        vidx = np.flatnonzero(valid)
+        # invalid gts unmatched
+        assert (out[~valid] == -1).all()
+        if len(vidx) == 0:
+            continue
+        # valid gts matched to distinct queries
+        picks = out[vidx]
+        assert (picks >= 0).all() and len(set(picks.tolist())) == len(picks)
+        total = cost[picks, vidx].sum()
+        rows, cols = linear_sum_assignment(cost[:, vidx])
+        opt = cost[rows, vidx[cols]].sum()
+        assert total <= opt + len(vidx) * 1e-3 + 1e-4, (trial, total, opt)
+
+
+def test_auction_match_empty_and_full():
+    import numpy as np
+    import jax.numpy as jnp
+    from rsprompter_tpu.models.task_modules.hungarian import auction_match
+
+    cost = jnp.zeros((10, 4), jnp.float32)
+    out = np.asarray(auction_match(cost, jnp.zeros((4,), bool)))
+    assert (out == -1).all()
+    out = np.asarray(auction_match(cost, jnp.ones((4,), bool)))
+    assert sorted(set(out.tolist())) == sorted(out.tolist())  # distinct
