@@ -199,7 +199,12 @@ class Mask2FormerHead(nn.Module):
         attn_target_hw: Tuple[int, int],
         image_embeddings: Optional[jax.Array],
         image_pe: Optional[jax.Array],
+        decode_masks: bool = True,
     ):
+        """``decode_masks=False`` (only legal with ``decoder_plus``, where the
+        next layer's attention mask comes from the plus stream) skips the SAM
+        decode and returns the plus mask in its slot — predict only consumes
+        the LAST layer, so intermediate layers skip 6 of 7 decodes."""
         b, q, _ = decoder_out.shape
         decoder_out = self.post_norm(decoder_out)
 
@@ -241,17 +246,21 @@ class Mask2FormerHead(nn.Module):
                     self.no_mask_embed.embedding.reshape(1, 1, 1, -1),
                     (b, s, s, self.decoder_config.hidden_size),
                 )
-            pe = image_pe
-            if pe.shape[0] != b:
-                pe = jnp.broadcast_to(pe, (b,) + pe.shape[1:])
-            masks, iou = self.mask_decoder(
-                image_embeddings=image_embeddings,
-                image_positional_embeddings=pe,
-                sparse_prompt_embeddings=sparse,
-                dense_prompt_embeddings=dense,
-                multimask_output=self.multimask_output,
-            )  # (B, Q, 1, 4h, 4w)
-            mask_pred = masks[:, :, 0]
+            if decode_masks:
+                pe = image_pe
+                if pe.shape[0] != b:
+                    pe = jnp.broadcast_to(pe, (b,) + pe.shape[1:])
+                masks, iou = self.mask_decoder(
+                    image_embeddings=image_embeddings,
+                    image_positional_embeddings=pe,
+                    sparse_prompt_embeddings=sparse,
+                    dense_prompt_embeddings=dense,
+                    multimask_output=self.multimask_output,
+                )  # (B, Q, 1, 4h, 4w)
+                mask_pred = masks[:, :, 0]
+            else:
+                assert self.decoder_plus, "skipping decode needs the plus stream"
+                mask_pred = mask_pred_plus  # placeholder; caller must not use
             attn_src = mask_pred_plus if self.decoder_plus else mask_pred
 
         # attention mask for the next decoder layer
@@ -271,9 +280,15 @@ class Mask2FormerHead(nn.Module):
         feats: Sequence[jax.Array],
         image_embeddings: Optional[jax.Array] = None,
         image_pe: Optional[jax.Array] = None,
+        decode_last_only: bool = False,
     ):
-        """Returns (cls_list, mask_list, mask_plus_list, mask_feature)."""
+        """Returns (cls_list, mask_list, mask_plus_list, mask_feature).
+
+        ``decode_last_only`` (predict-time, decoder_plus only): run the SAM
+        decode just for the final layer — attention masks come from the plus
+        stream, so the 6 intermediate decodes are dead weight at predict."""
         b = feats[0].shape[0]
+        skip = decode_last_only and self.sam_prompting and self.decoder_plus
         mask_feature, memorys = self.pixel_decoder(feats)
         # memorys: low -> high resolution
         mem_tokens, mem_pos, mem_hw = [], [], []
@@ -296,7 +311,8 @@ class Mask2FormerHead(nn.Module):
 
         cls_list, mask_list, plus_list = [], [], []
         cls_pred, mask_pred, attn_mask, mask_plus = self._forward_head(
-            query_feat, mask_feature, mem_hw[0], image_embeddings, image_pe
+            query_feat, mask_feature, mem_hw[0], image_embeddings, image_pe,
+            decode_masks=not skip,
         )
         cls_list.append(cls_pred)
         mask_list.append(mask_pred)
@@ -311,6 +327,7 @@ class Mask2FormerHead(nn.Module):
                 query_feat, mask_feature,
                 mem_hw[(i + 1) % self.num_transformer_feat_level],
                 image_embeddings, image_pe,
+                decode_masks=(not skip) or i == self.num_decoder_layers - 1,
             )
             cls_list.append(cls_pred)
             mask_list.append(mask_pred)
@@ -459,5 +476,7 @@ class Mask2FormerHead(nn.Module):
         image_pe: Optional[jax.Array] = None,
     ):
         """Returns (cls (B, Q, C+1), masks (B, Q, h, w)) from the last layer."""
-        cls_list, mask_list, _, _ = self(feats, image_embeddings, image_pe)
+        cls_list, mask_list, _, _ = self(
+            feats, image_embeddings, image_pe, decode_last_only=True
+        )
         return cls_list[-1], mask_list[-1]
