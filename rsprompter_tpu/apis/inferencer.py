@@ -81,12 +81,14 @@ class DetInferencer:
 
             sd = load_torch_checkpoint(self.sam_ckpt)
             params, _ = load_sam_pretrained(params, sd, self.cfg.model["type"])
+        bstats = None
         if self.weights:
-            from rsprompter_tpu.engine.checkpoint import restore_checkpoint
+            from rsprompter_tpu.engine.checkpoint import restore_train_params
 
-            restored = restore_checkpoint(self.weights, dict(params=params))
-            params = restored["params"]
+            params, bstats = restore_train_params(self.weights)
         self._variables = {**variables, "params": params}
+        if bstats is not None:
+            self._variables["batch_stats"] = bstats
         self._predict = jax.jit(
             lambda v, b: self.model.apply(v, b, method="predict")
         )

@@ -39,6 +39,20 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, max(steps)[1])
 
 
+def restore_train_params(path: str):
+    """Structure-free restore of a Runner train-state checkpoint.
+
+    Returns (params, batch_stats_or_None). Eval/demo tools have no
+    optimizer, so a params-only target would trip orbax's structure match
+    against the saved {params, batch_stats, opt_state, step} tree; restore
+    the whole tree and keep what inference needs.
+    """
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    return restored["params"], restored.get("batch_stats") or None
+
+
 def restore_checkpoint(path: str, target):
     import orbax.checkpoint as ocp
 

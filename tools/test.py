@@ -90,18 +90,13 @@ def main():
             params, _ = load_reference_checkpoint(variables["params"], sd)
             variables = {**variables, "params": params}
         else:
-            # orbax train-state checkpoint: restore the full saved tree
-            # (params + batch_stats + opt_state) structure-free, keep what
-            # predict needs — a params-only target trips orbax's structure
-            # match when the checkpoint carries optimizer state
-            import orbax.checkpoint as ocp
+            # orbax train-state checkpoint (structure-free full-tree restore)
+            from rsprompter_tpu.engine.checkpoint import restore_train_params
 
-            restored = ocp.StandardCheckpointer().restore(
-                os.path.abspath(args.checkpoint)
-            )
-            variables = {**variables, "params": restored["params"]}
-            if restored.get("batch_stats"):
-                variables["batch_stats"] = restored["batch_stats"]
+            params, bstats = restore_train_params(args.checkpoint)
+            variables = {**variables, "params": params}
+            if bstats is not None:
+                variables["batch_stats"] = bstats
 
     method = "oracle_predict" if args.oracle else "predict"
     if args.tta:
