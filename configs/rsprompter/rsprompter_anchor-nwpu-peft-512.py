@@ -5,6 +5,7 @@ _base_ = ["./rsprompter_anchor-nwpu.py"]
 
 crop_size = (512, 512)
 model = dict(
+    bf16=True,  # reference trains AMP fp16 (AmpOptimWrapper)
     image_size=512,
     aggregator_type="pseudo",
     peft_config=dict(r=16, lora_alpha=32, target_modules=["qkv"]),

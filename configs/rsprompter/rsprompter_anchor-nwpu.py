@@ -8,6 +8,7 @@ hf_sam_pretrain_name = "facebook/sam-vit-base"
 hf_sam_pretrain_ckpt_path = "pretrain/sam-vit-base/pytorch_model.bin"
 
 model = dict(
+    bf16=True,  # reference trains AMP fp16 (AmpOptimWrapper)
     type="RSPrompterAnchor",
     hf_sam_pretrain_name=hf_sam_pretrain_name,
     hf_sam_pretrain_ckpt_path=hf_sam_pretrain_ckpt_path,

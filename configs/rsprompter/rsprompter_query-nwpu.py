@@ -5,6 +5,7 @@ num_classes = 10
 prompt_shape = (70, 5)
 
 model = dict(
+    bf16=True,  # reference trains AMP fp16 (AmpOptimWrapper)
     _delete_=True,
     type="RSPrompterQuery",
     hf_sam_pretrain_name="facebook/sam-vit-base",

@@ -4,6 +4,7 @@ _base_ = ["./rsprompter_anchor-ssdd.py"]
 num_queries = 30
 
 model = dict(
+    bf16=True,  # reference trains AMP fp16 (AmpOptimWrapper)
     _delete_=True,
     type="SAMSegMask2Former",
     hf_sam_pretrain_name="facebook/sam-vit-base",

@@ -2,6 +2,7 @@
 _base_ = ["./rsprompter_anchor-whu.py"]
 
 model = dict(
+    bf16=True,  # reference trains AMP fp16 (AmpOptimWrapper)
     _delete_=True,
     type="SAMSegMask2Former",
     hf_sam_pretrain_name="facebook/sam-vit-base",

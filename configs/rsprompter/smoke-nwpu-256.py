@@ -8,6 +8,7 @@ val_interval = 1
 base_lr = 0.0001
 
 model = dict(
+    bf16=False,  # CPU-friendly smoke runs (inherits bf16=True otherwise)
     image_size=256,
     prompt_shape=(20, 5),
     train_cfg=dict(

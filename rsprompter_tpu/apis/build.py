@@ -63,9 +63,15 @@ def build_detector(model_cfg: Dict[str, Any]):
         lora_rank=(peft or {}).get("r", 0),
         lora_alpha=(peft or {}).get("lora_alpha", 32.0),
     )
+    # Exact (max-subtracted) softmax in the fused attention whenever the
+    # encoder receives gradients: from-scratch/LoRA training can push logits
+    # outside the clamp's (-60, 60) exact range (ADVICE r2). Frozen encoders
+    # keep the faster clamp.
+    backbone_trains = peft is not None or cfg.get("train_backbone", False)
+    safe_sm = dict(safe_softmax=cfg.get("safe_softmax", backbone_trains))
     if mtype == "RSPrompterAnchor":
         return RSPrompterAnchor(
-            **common, **lora,
+            **common, **lora, **safe_sm,
             prompt_shape=tuple(cfg.get("prompt_shape", (100, 5))),
             select_layers=tuple(
                 cfg.get("select_layers", _ARCH_SELECT_LAYERS[arch])
@@ -83,7 +89,7 @@ def build_detector(model_cfg: Dict[str, Any]):
         )
     if mtype == "SAMSegMaskRCNN":
         return SAMSegMaskRCNN(
-            **common, **lora,
+            **common, **lora, **safe_sm,
             select_layers=tuple(
                 cfg.get("select_layers", _ARCH_SELECT_LAYERS[arch])
             ),
@@ -105,7 +111,7 @@ def build_detector(model_cfg: Dict[str, Any]):
         from rsprompter_tpu.models.detectors.rsprompter_query import SAMSegMask2Former
 
         return SAMSegMask2Former(
-            **common, **lora,
+            **common, **lora, **safe_sm,
             prompt_shape=tuple(cfg.get("prompt_shape", (100, 5))),
             select_layers=tuple(
                 cfg.get("select_layers", _ARCH_SELECT_LAYERS[arch])
@@ -119,7 +125,7 @@ def build_detector(model_cfg: Dict[str, Any]):
         from rsprompter_tpu.models.detectors.rsprompter_query import RSPrompterQuery
 
         return RSPrompterQuery(
-            **common, **lora,
+            **common, **lora, **safe_sm,
             prompt_shape=tuple(cfg.get("prompt_shape", (100, 5))),
             select_layers=tuple(
                 cfg.get("select_layers", _ARCH_SELECT_LAYERS[arch])

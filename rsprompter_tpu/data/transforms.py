@@ -212,16 +212,32 @@ class Pad:
 
 @TRANSFORMS.register_module()
 class PackDetInputs:
-    """Normalize (BGR->RGB, ImageNet mean/std) and emit the model-facing dict."""
+    """Emit the model-facing image.
+
+    ``normalize='device'`` (default) keeps the image as uint8 BGR — the
+    reference ships raw uint8 tensors and its DetDataPreprocessor converts
+    BGR->RGB + ImageNet-normalizes ON DEVICE (``data_preprocessor.py:110-149``);
+    here ``models.preprocess.preprocess_images`` does the same inside the
+    jitted step. 4x less host->device traffic and no host-side fp32 upload
+    copies (the remote-tunnel leak of ROADMAP r2 §6).
+
+    ``normalize='host'`` keeps the legacy fp32 host-side normalization.
+    """
 
     def __init__(self, mean=IMAGENET_MEAN_RGB, std=IMAGENET_STD_RGB,
-                 bgr_to_rgb: bool = True):
+                 bgr_to_rgb: bool = True, normalize: str = "device"):
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.bgr_to_rgb = bgr_to_rgb
+        self.normalize = normalize
 
     def __call__(self, sample):
         img = sample["img"]
+        if self.normalize == "device":
+            sample["img"] = np.ascontiguousarray(
+                np.clip(np.round(img), 0, 255)
+            ).astype(np.uint8)
+            return sample
         if self.bgr_to_rgb:
             img = img[:, :, ::-1]
         img = (img - self.mean) / self.std
@@ -253,7 +269,17 @@ def collate_batch(
     ws = [s["img"].shape[1] for s in samples]
     th, tw = pad_shape or (max(hs), max(ws))
 
-    images = np.zeros((n, th, tw, 3), np.float32)
+    # uint8 samples (PackDetInputs normalize='device') ship as raw bytes —
+    # the model normalizes on device (models/preprocess.py). Batch-canvas
+    # padding must be the BGR means so it normalizes to ~0, matching the
+    # reference's pad-after-normalize-with-zero (data_preprocessor.py:110-149)
+    # and the legacy host-normalized zero-pad.
+    img_dtype = samples[0]["img"].dtype if samples else np.float32
+    if img_dtype == np.uint8:
+        images = np.empty((n, th, tw, 3), np.uint8)
+        images[...] = np.round(PAD_VALUE_BGR).astype(np.uint8)
+    else:
+        images = np.zeros((n, th, tw, 3), np.float32)
     img_shape = np.zeros((n, 2), np.int32)
     gt_bboxes = np.zeros((n, max_gt, 4), np.float32)
     gt_labels = np.zeros((n, max_gt), np.int32)

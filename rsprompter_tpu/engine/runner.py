@@ -53,6 +53,8 @@ class Runner:
         vis_backends=None,  # list of LocalVisBackend/WandbVisBackend
         save_best=("coco/bbox_mAP", "coco/segm_mAP"),  # reference
         # _base_/rsprompter_anchor.py:9: save_best on BOTH metrics
+        batch_fn=None,  # numpy batch -> device arrays; multi-host runs pass
+        # local_batch_to_global so per-host shards stitch into global arrays
     ):
         self.model = model
         self.tx = tx
@@ -79,6 +81,9 @@ class Runner:
         self.tp_rules = tuple(tp_rules)
         self.lr_schedule = lr_schedule
         self.save_best = tuple(save_best)
+        self.batch_fn = batch_fn or (
+            lambda b: {k: jax.numpy.asarray(v) for k, v in b.items()}
+        )
         self.best_metrics = {k: -1.0 for k in self.save_best}
         self._predict_cache = None  # compiled once, reused across validates
 
@@ -119,7 +124,7 @@ class Runner:
         last_log_it = it
         for epoch in range(start_epoch, self.max_epochs):
             for batch_np, metas in self.train_loader:
-                batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+                batch = self.batch_fn(batch_np)
                 state, metrics = step_fn(state, batch, self.rng)
                 it += 1
                 if it % self.log_interval == 0:
@@ -217,7 +222,7 @@ class Runner:
             variables["batch_stats"] = state.batch_stats
         offset = 0
         for batch_np, metas in self.val_loader:
-            batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+            batch = self.batch_fn(batch_np)
             dets, mask_probs = predict(variables, batch)
             gts = []
             for meta in metas:

@@ -200,11 +200,19 @@ class Mask2FormerHead(nn.Module):
         image_embeddings: Optional[jax.Array],
         image_pe: Optional[jax.Array],
         decode_masks: bool = True,
+        return_prompts: bool = False,
     ):
         """``decode_masks=False`` (only legal with ``decoder_plus``, where the
         next layer's attention mask comes from the plus stream) skips the SAM
         decode and returns the plus mask in its slot — predict only consumes
-        the LAST layer, so intermediate layers skip 6 of 7 decodes."""
+        the LAST layer, so intermediate layers skip 6 of 7 decodes.
+
+        ``return_prompts=True`` (train-time layer-batched decode) also skips
+        the per-layer decode but additionally returns the (sparse, dense)
+        prompt embeddings so the caller can run ONE SAM decode for all layers
+        stacked on the point_batch axis — legal for the same reason as
+        ``decode_masks=False``: with ``decoder_plus`` the sequential chain
+        (attention masks) never consumes the SAM stream."""
         b, q, _ = decoder_out.shape
         decoder_out = self.post_norm(decoder_out)
 
@@ -246,7 +254,7 @@ class Mask2FormerHead(nn.Module):
                     self.no_mask_embed.embedding.reshape(1, 1, 1, -1),
                     (b, s, s, self.decoder_config.hidden_size),
                 )
-            if decode_masks:
+            if decode_masks and not return_prompts:
                 pe = image_pe
                 if pe.shape[0] != b:
                     pe = jnp.broadcast_to(pe, (b,) + pe.shape[1:])
@@ -262,8 +270,15 @@ class Mask2FormerHead(nn.Module):
                 assert self.decoder_plus, "skipping decode needs the plus stream"
                 mask_pred = mask_pred_plus  # placeholder; caller must not use
             attn_src = mask_pred_plus if self.decoder_plus else mask_pred
+            if return_prompts:
+                am = self._next_attn_mask(attn_src, attn_target_hw, b, q)
+                return cls_pred, mask_pred, am, mask_pred_plus, (sparse, dense)
 
         # attention mask for the next decoder layer
+        am = self._next_attn_mask(attn_src, attn_target_hw, b, q)
+        return cls_pred, mask_pred, am, mask_pred_plus
+
+    def _next_attn_mask(self, attn_src, attn_target_hw, b, q):
         am = jax.image.resize(
             attn_src, attn_src.shape[:2] + tuple(attn_target_hw), method="bilinear"
         )
@@ -272,8 +287,7 @@ class Mask2FormerHead(nn.Module):
         not_all_bg = (~am).sum(-1, keepdims=True) > 0
         am = am & not_all_bg
         am = jnp.broadcast_to(am, (b, self.num_heads, q, am.shape[-1]))
-        am = jax.lax.stop_gradient(am)
-        return cls_pred, mask_pred, am, mask_pred_plus
+        return jax.lax.stop_gradient(am)
 
     def __call__(
         self,
@@ -281,14 +295,25 @@ class Mask2FormerHead(nn.Module):
         image_embeddings: Optional[jax.Array] = None,
         image_pe: Optional[jax.Array] = None,
         decode_last_only: bool = False,
+        batch_decode: bool = False,
     ):
         """Returns (cls_list, mask_list, mask_plus_list, mask_feature).
 
         ``decode_last_only`` (predict-time, decoder_plus only): run the SAM
         decode just for the final layer — attention masks come from the plus
-        stream, so the 6 intermediate decodes are dead weight at predict."""
+        stream, so the 6 intermediate decodes are dead weight at predict.
+
+        ``batch_decode`` (train-time, decoder_plus only): defer every layer's
+        SAM decode and run them as ONE decoder call with all layers stacked
+        on the point_batch axis (numerically identical — the decoder is
+        pointwise over prompts; reference runs 7 sequential decodes at
+        models.py:367-378). Cuts per-call overhead and keeps the big image-
+        side matmuls at full MXU occupancy."""
         b = feats[0].shape[0]
         skip = decode_last_only and self.sam_prompting and self.decoder_plus
+        collect = (
+            batch_decode and self.sam_prompting and self.decoder_plus and not skip
+        )
         mask_feature, memorys = self.pixel_decoder(feats)
         # memorys: low -> high resolution
         mem_tokens, mem_pos, mem_hw = [], [], []
@@ -309,29 +334,57 @@ class Mask2FormerHead(nn.Module):
             self.query_embed.embedding[None], (b, self.num_queries, self.feat_channels)
         )
 
-        cls_list, mask_list, plus_list = [], [], []
-        cls_pred, mask_pred, attn_mask, mask_plus = self._forward_head(
-            query_feat, mask_feature, mem_hw[0], image_embeddings, image_pe,
-            decode_masks=not skip,
-        )
-        cls_list.append(cls_pred)
-        mask_list.append(mask_pred)
-        plus_list.append(mask_plus)
+        cls_list, mask_list, plus_list, prompt_list = [], [], [], []
 
+        def head(qf, hw_idx, decode):
+            if collect:
+                cls_pred, mask_pred, am, mask_plus, prompts = self._forward_head(
+                    qf, mask_feature, mem_hw[hw_idx], image_embeddings,
+                    image_pe, return_prompts=True,
+                )
+                prompt_list.append(prompts)
+            else:
+                cls_pred, mask_pred, am, mask_plus = self._forward_head(
+                    qf, mask_feature, mem_hw[hw_idx], image_embeddings,
+                    image_pe, decode_masks=decode,
+                )
+            cls_list.append(cls_pred)
+            mask_list.append(mask_pred)
+            plus_list.append(mask_plus)
+            return am
+
+        attn_mask = head(query_feat, 0, not skip)
         for i in range(self.num_decoder_layers):
             lvl = i % self.num_transformer_feat_level
             query_feat = self.decoder_layers[i](
                 query_feat, query_pos, mem_tokens[lvl], mem_pos[lvl], attn_mask
             )
-            cls_pred, mask_pred, attn_mask, mask_plus = self._forward_head(
-                query_feat, mask_feature,
-                mem_hw[(i + 1) % self.num_transformer_feat_level],
-                image_embeddings, image_pe,
-                decode_masks=(not skip) or i == self.num_decoder_layers - 1,
+            attn_mask = head(
+                query_feat,
+                (i + 1) % self.num_transformer_feat_level,
+                (not skip) or i == self.num_decoder_layers - 1,
             )
-            cls_list.append(cls_pred)
-            mask_list.append(mask_pred)
-            plus_list.append(mask_plus)
+
+        if collect:
+            # one SAM decode for all layers: stack on the point_batch axis
+            n_layers = len(prompt_list)
+            q = self.num_queries
+            sparse_all = jnp.concatenate([s for s, _ in prompt_list], axis=1)
+            dense_all = jnp.concatenate([d for _, d in prompt_list], axis=1)
+            pe = image_pe
+            if pe.shape[0] != b:
+                pe = jnp.broadcast_to(pe, (b,) + pe.shape[1:])
+            masks, _ = self.mask_decoder(
+                image_embeddings=image_embeddings,
+                image_positional_embeddings=pe,
+                sparse_prompt_embeddings=sparse_all,
+                dense_prompt_embeddings=dense_all,
+                multimask_output=self.multimask_output,
+            )  # (B, L*Q, 1, 4h, 4w)
+            mask_all = masks[:, :, 0]
+            mask_list = [
+                mask_all[:, i * q : (i + 1) * q] for i in range(n_layers)
+            ]
         return cls_list, mask_list, plus_list, mask_feature
 
     # -- loss ----------------------------------------------------------------
@@ -345,7 +398,10 @@ class Mask2FormerHead(nn.Module):
         image_embeddings: Optional[jax.Array] = None,
         image_pe: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
-        cls_list, mask_list, plus_list, _ = self(feats, image_embeddings, image_pe)
+        cls_list, mask_list, plus_list, _ = self(
+            feats, image_embeddings, image_pe,
+            batch_decode=self.sam_prompting and self.decoder_plus,
+        )
         losses: Dict[str, jax.Array] = {}
         n_layers = len(cls_list)
         # phase 1: every layer's cost matrix on device, then ONE host

@@ -29,6 +29,7 @@ from rsprompter_tpu.models.necks.rsfpn import (
     RSSimpleFPN,
 )
 from rsprompter_tpu.models.roi_heads.prompt_roi_head import RSPrompterAnchorRoIPromptHead
+from rsprompter_tpu.models.preprocess import preprocess_images
 from rsprompter_tpu.models.sam.configs import SamVisionConfig, sam_config
 from rsprompter_tpu.models.sam.positional import (
     SamPositionalEmbedding,
@@ -62,6 +63,8 @@ class RSPrompterAnchor(nn.Module):
     train_cfg: Any = None
     test_cfg: Any = None
     attn_impl: str = "xla"
+    safe_softmax: bool = False  # exact softmax in fused attention (enable
+    # when the encoder trains from scratch; see SamVisionEncoder)
     dtype: Any = None
 
     def setup(self):
@@ -73,6 +76,7 @@ class RSPrompterAnchor(nn.Module):
         self.backbone = SamVisionEncoder(
             config=vcfg, attn_impl=self.attn_impl,
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            safe_softmax=self.safe_softmax,
             dtype=self.dtype,
         )
         self.shared_image_embedding = SamPositionalEmbedding(
@@ -130,6 +134,7 @@ class RSPrompterAnchor(nn.Module):
         )
 
     def extract_feat(self, images: jax.Array, train: bool = False):
+        images = preprocess_images(images)
         image_embeddings, hidden_states = self.backbone(images)
         if self.freeze_backbone:
             image_embeddings = jax.lax.stop_gradient(image_embeddings)

@@ -26,6 +26,7 @@ from rsprompter_tpu.models.necks.rsfpn import (
     RSFeatureAggregator,
     RSSimpleFPN,
 )
+from rsprompter_tpu.models.preprocess import preprocess_images
 from rsprompter_tpu.models.sam.configs import SamVisionConfig, sam_config
 from rsprompter_tpu.models.sam.positional import (
     SamPositionalEmbedding,
@@ -57,6 +58,8 @@ class RSPrompterQuery(nn.Module):
     train_cfg: Any = None
     test_cfg: Any = None
     attn_impl: str = "xla"
+    safe_softmax: bool = False  # exact softmax in fused attention (enable
+    # when the encoder trains from scratch; see SamVisionEncoder)
     dtype: Any = None
 
     def setup(self):
@@ -67,6 +70,7 @@ class RSPrompterQuery(nn.Module):
         self.backbone = SamVisionEncoder(
             config=vcfg, attn_impl=self.attn_impl,
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            safe_softmax=self.safe_softmax,
             dtype=self.dtype,
         )
         if self.sam_prompting:
@@ -119,6 +123,7 @@ class RSPrompterQuery(nn.Module):
         )
 
     def extract_feat(self, images: jax.Array, train: bool = False):
+        images = preprocess_images(images)
         image_embeddings, hidden_states = self.backbone(images)
         if self.freeze_backbone:
             image_embeddings = jax.lax.stop_gradient(image_embeddings)

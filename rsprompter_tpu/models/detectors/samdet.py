@@ -30,6 +30,7 @@ from rsprompter_tpu.models.dense_heads.rpn_head import (
 )
 from rsprompter_tpu.models.necks.fpn import FPN
 from rsprompter_tpu.models.roi_heads.standard_roi_head import StandardRoIHead
+from rsprompter_tpu.models.preprocess import preprocess_images
 from rsprompter_tpu.models.sam.configs import SamConfig, sam_config
 from rsprompter_tpu.models.sam.sam import SamModel
 
@@ -74,7 +75,7 @@ class SAMDet(nn.Module):
         )
 
     def _detector_feats(self, images):
-        return self.neck(self.backbone(images))
+        return self.neck(self.backbone(preprocess_images(images)))
 
     def _rpn_cfgs(self):
         tc = dict(self.train_cfg or {})
@@ -116,6 +117,7 @@ class SAMDet(nn.Module):
 
     def _decode_masks(self, images, boxes, valid):
         """SAM box-prompt decode: (B, N, 4) -> mask logits (B, N, 256-ish^2)."""
+        images = preprocess_images(images)
         # degenerate padded boxes are harmless (masked downstream) but keep
         # them numerically sane
         safe_boxes = jnp.where(valid[..., None], boxes, jnp.asarray([0, 0, 1, 1], boxes.dtype))

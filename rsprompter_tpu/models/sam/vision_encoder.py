@@ -30,6 +30,7 @@ from rsprompter_tpu.ops.fused_mlp import (
     fused_ln_qkv,
     fused_mlp_residual,
     fused_qkv_pair,
+    fused_qkv_window_pair,
 )
 from rsprompter_tpu.ops.fused_vit_attention import (
     fused_qkv_attention,
@@ -230,10 +231,19 @@ class SamVisionAttention(nn.Module):
     attn_impl: str = "xla"
     lora_rank: int = 0
     lora_alpha: float = 32.0
+    safe_softmax: bool = False  # exact max-subtracted softmax in the fused
+    # kernels (set for trainable-from-scratch encoders where attention logits
+    # can leave the clamp's (-60, 60) exact range; ADVICE r2)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, ln_params=None):
+    def __call__(self, x, ln_params=None, grid_window: int = 0):
+        """``grid_window > 0``: x is the FULL (unpartitioned) grid; the
+        window partition happens inside the qkv kernel's BlockSpec
+        (``fused_qkv_window_pair``) — no transpose ever materializes. The
+        attention output is unpartitioned back via an XLA reshape that fuses
+        into the proj einsum epilogue (measured cheap, perf_win_stack p5-p6).
+        """
         b, h, w, c = x.shape
         nh = self.num_attention_heads
         hd = self.hidden_size // nh
@@ -259,6 +269,34 @@ class SamVisionAttention(nn.Module):
                 (self.lora_rank, 3 * self.hidden_size),
             )
             lora = (lora_a, lora_b, self.lora_alpha / self.lora_rank)
+
+        if grid_window > 0:
+            # transpose-free window path: pad grid -> strip qkv kernel ->
+            # pair attention -> proj -> unpartition (fused into the einsum)
+            win = grid_window
+            pad_h = (win - h % win) % win
+            pad_w = (win - w % win) % win
+            xp = x
+            if pad_h or pad_w:
+                xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            hp, wp = h + pad_h, w + pad_w
+            wk, bk = _DenseParams(c, 3 * self.hidden_size, name="qkv")()
+            dt = self.dtype or x.dtype
+            qkv_p = fused_qkv_window_pair(
+                xp.astype(dt), wk.astype(dt), bk.astype(dt), 3 * nh, win
+            )
+            out = fused_qkv_attention_pair(
+                qkv_p, rel_pos_h, rel_pos_w, (win, win), self.safe_softmax
+            )
+            out = _HeadMajorProj(
+                features=self.hidden_size, dtype=self.dtype, name="proj"
+            )(out)  # (B*nW, win^2, C)
+            out = (
+                out.reshape(b, hp // win, wp // win, win, win, self.hidden_size)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(b, hp, wp, self.hidden_size)
+            )
+            return out[:, :h, :w]
 
         fused_ok = hd == 64 and (nh % 2 == 0 or h * w <= 512)
         if self.attn_impl == "fused" and fused_ok:
@@ -294,7 +332,9 @@ class SamVisionAttention(nn.Module):
                         heads=3 * nh, head_dim=hd, use_bias=self.qkv_bias,
                         pack_pairs=True, dtype=self.dtype, name="qkv",
                     )(x2, lora=lora)
-                out = fused_qkv_attention_pair(qkv_p, rel_pos_h, rel_pos_w, (h, w))
+                out = fused_qkv_attention_pair(
+                    qkv_p, rel_pos_h, rel_pos_w, (h, w), self.safe_softmax
+                )
                 out = _HeadMajorProj(
                     features=self.hidden_size, dtype=self.dtype, name="proj"
                 )(out)
@@ -304,7 +344,9 @@ class SamVisionAttention(nn.Module):
                 heads=3 * nh, head_dim=hd, use_bias=self.qkv_bias,
                 dtype=self.dtype, name="qkv",
             )(x2, lora=lora)
-            out = fused_qkv_attention(qkv_n, rel_pos_h, rel_pos_w, (h, w))
+            out = fused_qkv_attention(
+                qkv_n, rel_pos_h, rel_pos_w, (h, w), self.safe_softmax
+            )
             out = _HeadMajorProj(
                 features=self.hidden_size, dtype=self.dtype, name="proj"
             )(out)
@@ -335,6 +377,7 @@ class SamVisionLayer(nn.Module):
     attn_impl: str = "xla"
     lora_rank: int = 0
     lora_alpha: float = 32.0
+    safe_softmax: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -348,6 +391,16 @@ class SamVisionLayer(nn.Module):
             and self.lora_rank == 0 and hd == 64
             and cfg.num_attention_heads % 2 == 0
         )
+        # transpose-free window path: the qkv kernel's BlockSpec does the
+        # partition (fused_qkv_window_pair); eligible for the even-head
+        # pair kernels without LoRA (LoRA keeps the explicit-partition path)
+        grid_window = 0
+        if (
+            self.attn_impl == "fused" and self.window_size > 0 and hd == 64
+            and cfg.num_attention_heads % 2 == 0 and self.lora_rank == 0
+            and cfg.qkv_bias
+        ):
+            grid_window = self.window_size
         if fuse_ln1:
             # LN1 runs inside the qkv kernel; declare its params here so the
             # tree matches the SamLayerNorm path exactly
@@ -355,7 +408,7 @@ class SamVisionLayer(nn.Module):
             ln_params = (ls, lb, cfg.layer_norm_eps)
         else:
             x = SamLayerNorm(eps=cfg.layer_norm_eps, name="layer_norm1")(x)
-        if self.window_size > 0:
+        if self.window_size > 0 and not grid_window:
             h, w = x.shape[1], x.shape[2]
             x, padded = window_partition(x, self.window_size)
             input_size = (self.window_size, self.window_size)
@@ -373,11 +426,12 @@ class SamVisionLayer(nn.Module):
             attn_impl=self.attn_impl,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
+            safe_softmax=self.safe_softmax,
             dtype=self.dtype,
             name="attn",
-        )(x, ln_params=ln_params)
+        )(x, ln_params=ln_params, grid_window=grid_window)
         del input_size
-        if self.window_size > 0:
+        if self.window_size > 0 and not grid_window:
             x = window_unpartition(x, self.window_size, padded, (h, w))
         x = residual + x
         if self.attn_impl == "fused":
@@ -437,6 +491,8 @@ class SamVisionEncoder(nn.Module):
     lora_alpha: float = 32.0
     remat: bool = False  # rematerialize each layer's activations in backward
     # (jax.checkpoint; the finetune-memory knob — frozen backbones don't need it)
+    safe_softmax: bool = False  # exact softmax in fused kernels (see
+    # SamVisionAttention.safe_softmax; enable for from-scratch training)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -473,6 +529,7 @@ class SamVisionEncoder(nn.Module):
                 attn_impl=self.attn_impl,
                 lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha,
+                safe_softmax=self.safe_softmax,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x)

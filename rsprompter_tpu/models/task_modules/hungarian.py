@@ -110,8 +110,12 @@ def auction_match(
     so the result is always a valid one-to-one assignment.
     """
     qn, gn = cost.shape
+    # Non-finite costs (NaN included) map to BIG_COST = repulsive, matching
+    # _lsa_host's np.where(isfinite, ., BIG_COST) so the two platforms agree.
     benefit = jnp.where(
-        gt_valid[None, :], -jnp.nan_to_num(cost, posinf=BIG_COST), 0.0
+        gt_valid[None, :],
+        -jnp.nan_to_num(cost, nan=BIG_COST, posinf=BIG_COST, neginf=-BIG_COST),
+        0.0,
     ).T  # (G, Q)
 
     def cond(st):
@@ -159,7 +163,10 @@ def auction_match(
     # greedy completion (no-op unless max_rounds truncated the auction)
     def fill(g, carry):
         assigned, taken = carry
-        need = gt_valid[g] & (assigned[g] < 0)
+        # If every query is already taken (more valid gts than queries) there
+        # is no one-to-one completion: leave the gt at -1 rather than letting
+        # argmax-over-all(-inf) alias multiple gts onto query 0.
+        need = gt_valid[g] & (assigned[g] < 0) & ~jnp.all(taken)
         avail = jnp.where(taken, -jnp.inf, benefit[g])
         pick = jnp.argmax(avail).astype(jnp.int32)
         assigned = assigned.at[g].set(jnp.where(need, pick, assigned[g]))

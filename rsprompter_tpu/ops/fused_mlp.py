@@ -301,3 +301,98 @@ def _bwd_vjp(eps, residuals, g):
 
 
 fused_mlp_residual.defvjp(_fwd_vjp, _bwd_vjp)
+
+
+def _strip_qkv_kernel(x_ref, w_ref, bias_ref, o_ref, *, pairs3, nwin, window):
+    """One row-strip of ``nwin`` windows per cell: per-window qkv matmul +
+    pair-packed write. The window-partition transpose never materializes —
+    it is this kernel's BlockSpec addressing + cheap in-VMEM slices."""
+    x = x_ref[0]  # (window, WP, C)
+    w = w_ref[...]
+    bias = bias_ref[...]
+    s = window * window
+    for wi in range(nwin):
+        xt = x[:, wi * window : (wi + 1) * window, :].reshape(s, x.shape[-1])
+        y = jax.lax.dot(xt, w, preferred_element_type=jnp.float32)
+        y = y.astype(x.dtype) + bias
+        for j in range(pairs3):
+            o_ref[wi, j] = y[:, j * 128 : (j + 1) * 128]
+
+
+def _window_grid_ref(x_grid, w, b, heads3, window):
+    """XLA reference (CPU path + backward recompute): explicit partition."""
+    b_, hp, wp, c = x_grid.shape
+    nh, nw = hp // window, wp // window
+    s = window * window
+    xw = (
+        x_grid.reshape(b_, nh, window, nw, window, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b_ * nh * nw, s, c)
+    )
+    y = (xw @ w).astype(x_grid.dtype) + b
+    return y.reshape(b_ * nh * nw, s, heads3 // 2, 128).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_qkv_window_pair(x_grid, w, b, heads3, window):
+    """Windowed qkv from the PADDED GRID: (B, HP, WP, C) -> pair-packed
+    (B*nW, heads3//2, window^2, 128).
+
+    Round-3 finding (scripts/perf_win_stack.py): the window-partition
+    transpose cost ~1.1 ms/layer in-context because its consumer was opaque
+    to XLA fusion (and ``fused_qkv_pair`` silently fell back to the XLA
+    matmul for the 196-token windows). Reading row-strips of windows
+    straight off the grid removes the transpose entirely: measured
+    ln+partition+qkv+attn 4.22 -> 2.58 ms/layer @bs8 (proto_win_v9, random
+    data, bit-exact).
+    """
+    b_, hp, wp, c = x_grid.shape
+    if (
+        jax.devices()[0].platform == "cpu"
+        or heads3 % 2
+        or hp % window
+        or wp % window
+    ):
+        return _window_grid_ref(x_grid, w, b, heads3, window)
+    nh, nw = hp // window, wp // window
+    s = window * window
+    pairs3 = heads3 // 2
+    kernel = functools.partial(
+        _strip_qkv_kernel, pairs3=pairs3, nwin=nw, window=window
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (b_ * nh * nw, pairs3, s, 128), x_grid.dtype
+        ),
+        grid=(b_, nh),
+        in_specs=[
+            pl.BlockSpec((1, window, wp, c), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((c, heads3 * 64), lambda bi, i: (0, 0)),
+            pl.BlockSpec((1, heads3 * 64), lambda bi, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (nw, pairs3, s, 128), lambda bi, i, nh=nh: (bi * nh + i, 0, 0, 0)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(x_grid, w, b[None, :])
+
+
+def _qkv_window_fwd_vjp(x_grid, w, b, heads3, window):
+    return fused_qkv_window_pair(x_grid, w, b, heads3, window), (x_grid, w, b)
+
+
+def _qkv_window_bwd_vjp(heads3, window, residuals, g):
+    x_grid, w, b = residuals
+
+    def ref(x_grid, w, b):
+        return _window_grid_ref(x_grid, w, b, heads3, window)
+
+    _, vjp = jax.vjp(ref, x_grid, w, b)
+    return vjp(g)
+
+
+fused_qkv_window_pair.defvjp(_qkv_window_fwd_vjp, _qkv_window_bwd_vjp)

@@ -169,49 +169,59 @@ def _pair_expansions(hw: Tuple[int, int], dtype) -> Tuple[jax.Array, jax.Array]:
     return e_a, e_b
 
 
-def _attend_one(q, k, v, f, e, scale, out_dtype):
+def _attend_one(q, k, v, f, e, scale, out_dtype, safe=False):
     """scores -> softmax -> PV for one head; bias via one expansion matmul.
 
-    The softmax normalizes with a CLAMP instead of the usual running max:
-    exp2(clip(s, -60, 60)) keeps the ratio exact whenever scores stay inside
-    (-60, 60) — far beyond trained ViT logit ranges, and sum-overflow-safe in
-    fp32 (4096 * 2^86 < 2^127). clip is pure elementwise where max is a
-    cross-lane reduction + broadcast subtract; measured 8.77 -> 8.24 ms on
-    a global layer @bs8 (random data). Backward uses the exact reference."""
+    ``safe=False`` (inference default): normalize with a CLAMP instead of the
+    usual running max: exp2(clip(s, -60, 60)) keeps the ratio exact whenever
+    scores stay inside (-60, 60) — far beyond trained ViT logit ranges, and
+    sum-overflow-safe in fp32 (4096 * 2^86 < 2^127). clip is pure elementwise
+    where max is a cross-lane reduction + broadcast subtract; measured
+    8.77 -> 8.24 ms on a global layer @bs8 (random data).
+
+    ``safe=True`` (training): subtract the exact per-row max — shift-invariant
+    for ANY logit range, matching the exact-softmax backward recompute even
+    when from-scratch training spikes logits outside (-60, 60) (ADVICE r2:
+    the clamp would otherwise silently flatten probabilities toward uniform
+    exactly when forward/backward consistency matters most)."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     s = s + jax.lax.dot(f, e, preferred_element_type=jnp.float32)
+    if safe:
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+    else:
+        s = jnp.clip(s, -60.0, 60.0)
     # exp2 on fp32 == exp to 1 ulp; measurably faster on the VPU
-    p = jnp.exp2(jnp.clip(s, -60.0, 60.0) * LOG2E).astype(v.dtype)
+    p = jnp.exp2(s * LOG2E).astype(v.dtype)
     l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
     o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
     return (o / l).astype(out_dtype)
 
 
-def _global_kernel(q_ref, k_ref, v_ref, f_ref, e_ref, o_ref, *, scale):
+def _global_kernel(q_ref, k_ref, v_ref, f_ref, e_ref, o_ref, *, scale, safe):
     """One (batch, head-pair, q-block) cell. Two heads per cell so Mosaic can
     overlap one head's VPU softmax with the other head's MXU matmuls."""
     e = e_ref[...]
     for j in range(2):
         o_ref[0, 0, j] = _attend_one(
             q_ref[0, 0, j], k_ref[0, 0, j], v_ref[0, 0, j], f_ref[0, 0, j],
-            e, scale, o_ref.dtype,
+            e, scale, o_ref.dtype, safe=safe,
         )
 
 
-def _window_kernel(qkv_ref, f_ref, e_ref, o_ref, *, scale, heads):
+def _window_kernel(qkv_ref, f_ref, e_ref, o_ref, *, scale, heads, safe):
     """One window per cell; all heads unrolled (small-S windows are
     launch-bound on a per-head grid)."""
     e = e_ref[...]
     for n in range(heads):
         o_ref[0, n] = _attend_one(
             qkv_ref[0, n], qkv_ref[0, heads + n], qkv_ref[0, 2 * heads + n],
-            f_ref[0, n], e, scale, o_ref.dtype,
+            f_ref[0, n], e, scale, o_ref.dtype, safe=safe,
         )
 
 
-def _fused_fwd(qkv, rel_pos_h, rel_pos_w, hw, block_q=512):
+def _fused_fwd(qkv, rel_pos_h, rel_pos_w, hw, safe=False, block_q=512):
     """qkv: (B, 3n, S, d) head-major. Returns (B, n, S, d)."""
     h, w = hw
     b, n3, s, d = qkv.shape
@@ -228,7 +238,7 @@ def _fused_fwd(qkv, rel_pos_h, rel_pos_w, hw, block_q=512):
     interpret = _interpret()
 
     if s <= 512:
-        kernel = functools.partial(_window_kernel, scale=scale, heads=n)
+        kernel = functools.partial(_window_kernel, scale=scale, heads=n, safe=safe)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((b, n, s, d), qkv.dtype),
@@ -250,7 +260,7 @@ def _fused_fwd(qkv, rel_pos_h, rel_pos_w, hw, block_q=512):
     bq = block_q
     while s % bq:
         bq //= 2
-    kernel = functools.partial(_global_kernel, scale=scale)
+    kernel = functools.partial(_global_kernel, scale=scale, safe=safe)
     # head pairs are contiguous: view (B, 3n, S, d) as (B, 3n/2, 2, S, d) —
     # a free reshape — so one BlockSpec carries both heads of a pair
     qkv_p = qkv.reshape(b, n3 // 2, 2, s, d)
@@ -322,8 +332,8 @@ def _reference_attention(qkv, rel_pos_h, rel_pos_w, hw, chunk=512):
     return out.transpose(1, 0, 2, 3).reshape(b, n, s, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_qkv_attention(qkv, rel_pos_h, rel_pos_w, hw):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_qkv_attention(qkv, rel_pos_h, rel_pos_w, hw, safe=False):
     """Attention over an (h, w) token grid from head-major packed qkv.
 
     Args:
@@ -331,17 +341,22 @@ def fused_qkv_attention(qkv, rel_pos_h, rel_pos_w, hw):
         e.g. from ``einsum('bsc,ncd->bnsd', x, W.reshape/transposed)``.
       rel_pos_h/w: raw (2L-1, 64) decomposed rel-pos tables, or None.
       hw: static (h, w), S = h*w.
+      safe: static; True = exact max-subtracted softmax (training-safe for
+        any logit range), False = clamped softmax (faster; exact only while
+        |logits| < 60 — fine for trained ViTs).
 
     Returns (B, heads, S, 64).
     """
-    return _fused_fwd(qkv, rel_pos_h, rel_pos_w, hw)
+    return _fused_fwd(qkv, rel_pos_h, rel_pos_w, hw, safe)
 
 
-def _fused_fwd_vjp(qkv, rel_pos_h, rel_pos_w, hw):
-    return _fused_fwd(qkv, rel_pos_h, rel_pos_w, hw), (qkv, rel_pos_h, rel_pos_w)
+def _fused_fwd_vjp(qkv, rel_pos_h, rel_pos_w, hw, safe):
+    return _fused_fwd(qkv, rel_pos_h, rel_pos_w, hw, safe), (
+        qkv, rel_pos_h, rel_pos_w,
+    )
 
 
-def _fused_bwd_vjp(hw, residuals, g):
+def _fused_bwd_vjp(hw, safe, residuals, g):
     qkv, rel_pos_h, rel_pos_w = residuals
 
     def ref(qkv, th, tw):
@@ -362,7 +377,9 @@ fused_qkv_attention.defvjp(_fused_fwd_vjp, _fused_bwd_vjp)
 # ---------------------------------------------------------------------------
 
 
-def _window_kernel_pair(qkv_ref, f_ref, ea_ref, eb_ref, o_ref, *, scale, pairs, d):
+def _window_kernel_pair(
+    qkv_ref, f_ref, ea_ref, eb_ref, o_ref, *, scale, pairs, d, safe
+):
     """One window per cell, heads pair-packed in lanes. Per pair: lane-split
     q/k/v, bias = f @ E_half (the other head's factor rows are zero), two
     attends, lane-concat the outputs."""
@@ -377,12 +394,17 @@ def _window_kernel_pair(qkv_ref, f_ref, ea_ref, eb_ref, o_ref, *, scale, pairs, 
         for half, e in ((0, ea), (1, eb)):
             sl = slice(half * d, (half + 1) * d)
             outs.append(
-                _attend_one(qp[:, sl], kp[:, sl], vp[:, sl], f, e, scale, o_ref.dtype)
+                _attend_one(
+                    qp[:, sl], kp[:, sl], vp[:, sl], f, e, scale, o_ref.dtype,
+                    safe=safe,
+                )
             )
         o_ref[0, n] = jnp.concatenate(outs, axis=-1)
 
 
-def _global_kernel_pair(q_ref, k_ref, v_ref, f_ref, e_ref, o_ref, *, scale, d, lmax):
+def _global_kernel_pair(
+    q_ref, k_ref, v_ref, f_ref, e_ref, o_ref, *, scale, d, lmax, safe
+):
     """One (batch, head-pair, q-block) cell, heads pair-packed in lanes.
     f lane-slices at the aligned 2L boundary; E shared between halves.
     (Hoisting the k/v lane-splits into VMEM scratch via pl.when was measured
@@ -398,12 +420,15 @@ def _global_kernel_pair(q_ref, k_ref, v_ref, f_ref, e_ref, o_ref, *, scale, d, l
         sl = slice(half * d, (half + 1) * d)
         fs = fp[:, half * 2 * lmax : (half + 1) * 2 * lmax]
         outs.append(
-            _attend_one(qp[:, sl], kp[:, sl], vp[:, sl], fs, e, scale, o_ref.dtype)
+            _attend_one(
+                qp[:, sl], kp[:, sl], vp[:, sl], fs, e, scale, o_ref.dtype,
+                safe=safe,
+            )
         )
     o_ref[0, 0] = jnp.concatenate(outs, axis=-1)
 
 
-def _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw, block_q=512):
+def _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw, safe=False, block_q=512):
     """qkv_pair: (B, 3n/2, S, 2d) lane-packed. Returns (B, n/2, S, 2d)."""
     h, w = hw
     b, n3p, s, d2 = qkv_pair.shape
@@ -422,7 +447,7 @@ def _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw, block_q=512):
     if s <= 512:
         e_a, e_b = _pair_expansions(hw, qkv_pair.dtype)
         kernel = functools.partial(
-            _window_kernel_pair, scale=scale, pairs=np_, d=d
+            _window_kernel_pair, scale=scale, pairs=np_, d=d, safe=safe
         )
         return pl.pallas_call(
             kernel,
@@ -446,7 +471,9 @@ def _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw, block_q=512):
     while s % bq:
         bq //= 2
     e = _expansion_matrix(hw, qkv_pair.dtype)
-    kernel = functools.partial(_global_kernel_pair, scale=scale, d=d, lmax=lmax)
+    kernel = functools.partial(
+        _global_kernel_pair, scale=scale, d=d, lmax=lmax, safe=safe
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, np_, s, d2), qkv_pair.dtype),
@@ -482,8 +509,8 @@ def _pack_pairs(qkv):
     return x.transpose(0, 1, 3, 2, 4).reshape(b, n // 2, s, 2 * d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_qkv_attention_pair(qkv_pair, rel_pos_h, rel_pos_w, hw):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_qkv_attention_pair(qkv_pair, rel_pos_h, rel_pos_w, hw, safe=False):
     """Window attention from PAIR-PACKED head-major qkv.
 
     Args:
@@ -494,19 +521,22 @@ def fused_qkv_attention_pair(qkv_pair, rel_pos_h, rel_pos_w, hw):
       hw: static (h, w); S = h*w. Window grids (S <= 512) run one window
         per grid cell; larger grids run the (batch, pair, q-block) global
         kernel with k/v resident per pair.
+      safe: static; True = exact max-subtracted softmax (training-safe for
+        any logit range), False = clamped softmax (faster; exact while
+        |logits| < 60).
 
     Returns (B, heads/2, S, 128), same lane pairing.
     """
-    return _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw)
+    return _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw, safe)
 
 
-def _pair_fwd_vjp(qkv_pair, rel_pos_h, rel_pos_w, hw):
-    return _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw), (
+def _pair_fwd_vjp(qkv_pair, rel_pos_h, rel_pos_w, hw, safe):
+    return _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw, safe), (
         qkv_pair, rel_pos_h, rel_pos_w,
     )
 
 
-def _pair_bwd_vjp(hw, residuals, g):
+def _pair_bwd_vjp(hw, safe, residuals, g):
     qkv_pair, rel_pos_h, rel_pos_w = residuals
 
     def ref(qkv_pair, th, tw):

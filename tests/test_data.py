@@ -56,8 +56,14 @@ def test_test_pipeline_shapes(dataset):
     assert s["img"].shape == (256, 256, 3)
     h, w = s["img_shape"]
     assert max(h, w) == 256  # keep-ratio resize fits the long side
-    # normalized image has roughly zero-centered stats in the valid region
-    assert abs(s["img"][:h, :w].mean()) < 3.0
+    # device-normalize mode (default): raw uint8 bytes ship; after the
+    # on-device normalize the valid region is roughly zero-centered
+    assert s["img"].dtype == np.uint8
+    from rsprompter_tpu.models.preprocess import preprocess_images
+    import jax.numpy as jnp
+
+    normed = np.asarray(preprocess_images(jnp.asarray(s["img"][None])))[0]
+    assert abs(normed[:h, :w].mean()) < 3.0
 
 
 def test_train_pipeline_and_collate(dataset):
@@ -138,6 +144,33 @@ def test_pad_value_is_bgr_ordered_imagenet_mean():
     np.testing.assert_allclose(out["img"][12, 12], PAD_VALUE_BGR)
     # BGR channel order: blue slot holds 0.406*255
     assert abs(PAD_VALUE_BGR[0] - 0.406 * 255) < 1e-6
-    out = PackDetInputs()(out)
+    out_host = PackDetInputs(normalize="host")(dict(out))
     # after normalization the padded region is exactly the zero-mean point
-    np.testing.assert_allclose(out["img"][12, 12], [0, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(out_host["img"][12, 12], [0, 0, 0], atol=1e-5)
+    # device mode (default): raw uint8 BGR bytes ship; the on-device
+    # normalize maps the pad value to ~0 (quantization-limited)
+    out_dev = PackDetInputs()(dict(out))
+    assert out_dev["img"].dtype == np.uint8
+    from rsprompter_tpu.models.preprocess import preprocess_images
+    import jax.numpy as jnp
+
+    normed = np.asarray(preprocess_images(jnp.asarray(out_dev["img"][None])))
+    np.testing.assert_allclose(normed[0, 12, 12], [0, 0, 0], atol=0.02)
+
+
+def test_device_normalize_matches_host_path():
+    """uint8 ship + on-device normalize (reference DetDataPreprocessor
+    :110-149) agrees with the legacy host fp32 path to quantization error."""
+    from rsprompter_tpu.data.transforms import PackDetInputs
+    from rsprompter_tpu.models.preprocess import preprocess_images
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 256, (16, 16, 3)).astype(np.float32)  # BGR content
+    sample = dict(img=img)
+    host = PackDetInputs(normalize="host")(dict(sample))["img"]
+    dev_u8 = PackDetInputs()(dict(sample))["img"]
+    assert dev_u8.dtype == np.uint8
+    dev = np.asarray(preprocess_images(jnp.asarray(dev_u8[None])))[0]
+    # integral inputs: bit-identical up to fp32 rounding
+    np.testing.assert_allclose(dev, host, atol=1e-5)

@@ -223,3 +223,58 @@ def test_pair_packed_window_attention_matches_xla(hw, heads):
         np.asarray(_unpack_pairs(g_pair[0])), np.asarray(g_ref[0]), atol=2e-5
     )
     np.testing.assert_allclose(np.asarray(g_pair[1]), np.asarray(g_ref[1]), atol=2e-5)
+
+
+@pytest.mark.parametrize("pair", [False, True])
+def test_safe_softmax_out_of_range_logits(pair):
+    """|logits| >> 60 (from-scratch ViT instability regime): safe=True must
+    match the exact reference; the default clamp is DOCUMENTED to diverge
+    there (PARITY dev 8 / ADVICE r2) — assert both sides of the envelope."""
+    from rsprompter_tpu.ops.fused_vit_attention import (
+        _pack_pairs,
+        _unpack_pairs,
+        fused_qkv_attention_pair,
+    )
+
+    h = w = 8
+    heads = 2
+    s = h * w
+    # scale qk so raw scores reach |s| ~ 200-800, far outside (-60, 60)
+    qkv = _rand(0, (1, 3 * heads, s, 64), scale=5.0)
+    ref = attention_rel_pos(
+        qkv[:, :heads], qkv[:, heads : 2 * heads], qkv[:, 2 * heads :],
+        (h, w), None, None, impl="xla",
+    )
+    scores = (
+        np.einsum(
+            "bnqd,bnkd->bnqk", np.asarray(qkv[:, :heads]),
+            np.asarray(qkv[:, heads : 2 * heads]),
+        )
+        * 64 ** -0.5
+    )
+    assert np.abs(scores).max() > 60, "test setup must exceed the clamp range"
+    if pair:
+        qkv_p = _pack_pairs(qkv)
+        safe = _unpack_pairs(
+            fused_qkv_attention_pair(qkv_p, None, None, (h, w), True)
+        )
+        clamped = _unpack_pairs(
+            fused_qkv_attention_pair(qkv_p, None, None, (h, w), False)
+        )
+    else:
+        safe = fused_qkv_attention(qkv, None, None, (h, w), True)
+        clamped = fused_qkv_attention(qkv, None, None, (h, w), False)
+    np.testing.assert_allclose(np.asarray(safe), np.asarray(ref), atol=2e-5)
+    # the clamp genuinely flattens out-of-range rows -> measurable divergence
+    assert np.abs(np.asarray(clamped) - np.asarray(ref)).max() > 1e-2
+
+
+def test_safe_softmax_in_range_matches_clamp():
+    """Inside (-60, 60) both normalizations are exact and must agree."""
+    h = w = 8
+    heads = 2
+    qkv = _rand(0, (1, 3 * heads, h * w, 64))
+    th = _rand(1, (2 * h - 1, 64), 0.2)
+    a = fused_qkv_attention(qkv, th, th, (h, w), True)
+    b = fused_qkv_attention(qkv, th, th, (h, w), False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

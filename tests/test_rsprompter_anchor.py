@@ -89,3 +89,37 @@ def test_predict_mode(model_and_params):
     # SAM masks are full-frame at 4x the image-embedding grid (8x8 -> 32x32)
     assert mask_probs.shape == (b, 4, 32, 32)
     assert np.asarray(mask_probs).min() >= 0 and np.asarray(mask_probs).max() <= 1
+
+
+def test_mask_chain_learns_on_fixed_batch(model_and_params):
+    """VERDICT r2 missing #1: optimizing ONLY loss_mask on a fixed batch must
+    decrease it through the point_emb -> SAM-decoder chain (proves the
+    train-side mask stream carries usable gradient, not just nonzero grad).
+    Reference chain anchor: mmdet/rsprompter/models.py:1720-1744."""
+    import optax
+
+    model, variables, batch = model_and_params
+    params = variables["params"]
+    tx = optax.adam(2e-3)
+    opt_state = tx.init(params)
+
+    def mask_loss(p):
+        losses = model.apply(
+            {**variables, "params": p}, batch, jax.random.PRNGKey(2),
+            method="loss", mutable=["batch_stats"],
+        )[0]
+        return losses["loss_mask"]
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(mask_loss)(p)
+        updates, s = tx.update(g, s, p)
+        return optax.apply_updates(p, updates), s, l
+
+    losses = []
+    for _ in range(12):
+        params, opt_state, l = step(params, opt_state)
+        losses.append(float(l))
+    assert np.isfinite(losses).all()
+    # the chain must actually optimize: final loss well below the initial
+    assert losses[-1] < 0.7 * losses[0], losses

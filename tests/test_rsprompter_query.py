@@ -160,3 +160,29 @@ def test_samseg_mask2former_loss_and_predict():
         assert np.isfinite(np.asarray(v)).all(), k
     dets, probs = model.apply(variables, batch, method="predict")
     assert dets.boxes.shape[1] == 5
+
+
+def test_batch_decode_matches_per_layer(query_model):
+    """Layer-batched SAM decode (ONE decoder call, layers stacked on the
+    point_batch axis) must be numerically identical to the reference-shaped
+    per-layer decode loop (reference models.py:367-378)."""
+    model, variables, batch = query_model
+
+    def run(batch_decode):
+        def fwd(self, images):
+            feats, image_embeddings, image_pe = self.extract_feat(images)
+            _, mask_list, plus_list, _ = self.panoptic_head(
+                feats, image_embeddings, image_pe, batch_decode=batch_decode
+            )
+            return mask_list
+
+        return model.apply(variables, batch["images"], method=fwd)
+
+    batched = run(True)
+    looped = run(False)
+    assert len(batched) == len(looped) == 3  # initial head + 2 layers
+    for a, b in zip(batched, looped):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-4, rtol=1e-3,
+        )

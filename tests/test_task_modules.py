@@ -123,3 +123,61 @@ def test_auction_match_empty_and_full():
     assert (out == -1).all()
     out = np.asarray(auction_match(cost, jnp.ones((4,), bool)))
     assert sorted(set(out.tolist())) == sorted(out.tolist())  # distinct
+
+
+def test_auction_match_realistic_scales_and_big_cost():
+    """TPU-vs-scipy parity at the cost scales the query head actually emits
+    (ADVICE r2): cls(~[-2,0]) + 5*bce(~[0,5]) + 5*dice(~[0,1]) mixtures,
+    BIG_COST rows (masked/degenerate pairs), and NaN entries — NaN must be
+    repulsive (match _lsa_host), and the assignment within G*eps of optimal."""
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+
+    import jax.numpy as jnp
+    from rsprompter_tpu.models.task_modules.hungarian import (
+        BIG_COST,
+        auction_match,
+    )
+
+    rs = np.random.RandomState(7)
+    for trial in range(6):
+        q, g = 100, rs.randint(2, 30)
+        cost = (
+            -rs.rand(q, g) * 2.0
+            + rs.rand(q, g) * 25.0
+            + rs.rand(q, g) * 5.0
+        ).astype(np.float32)
+        # sprinkle BIG_COST entries (repulsive pairs) and a NaN
+        big_mask = rs.rand(q, g) < 0.1
+        cost[big_mask] = BIG_COST
+        cost[rs.randint(q), rs.randint(g)] = np.nan
+        valid = np.ones(g, bool)
+        out = np.asarray(auction_match(jnp.asarray(cost), jnp.asarray(valid)))
+        picks = out[valid]
+        assert (picks >= 0).all() and len(set(picks.tolist())) == len(picks)
+        clean = np.where(np.isfinite(cost), cost, BIG_COST)
+        rows, cols = linear_sum_assignment(clean)
+        opt = clean[rows, cols].sum()
+        total = clean[picks, np.flatnonzero(valid)].sum()
+        # eps-auction bound; BIG_COST magnitudes don't break it because every
+        # non-finite entry maps to the same repulsive plateau on both paths
+        assert total <= opt + g * 1e-3 + 1e-2, (trial, total, opt)
+
+
+def test_auction_match_more_gts_than_queries():
+    """Over-subscribed case (valid gts > queries): the one-to-one guarantee
+    must hold for as many gts as there are queries; the surplus stays -1
+    instead of aliasing onto query 0 (ADVICE r2)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rsprompter_tpu.models.task_modules.hungarian import auction_match
+
+    q, g = 3, 6
+    rs = np.random.RandomState(3)
+    cost = rs.randn(q, g).astype(np.float32)
+    out = np.asarray(
+        auction_match(jnp.asarray(cost), jnp.ones((g,), bool), max_rounds=16)
+    )
+    matched = out[out >= 0]
+    assert len(set(matched.tolist())) == len(matched)  # no aliasing
+    assert len(matched) <= q

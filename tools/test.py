@@ -23,7 +23,50 @@ def parse_args():
                         "(reference tools/test.py --tta / DetTTAModel)")
     p.add_argument("--oracle", action="store_true",
                    help="SAM-det oracle mode (GT boxes as prompts)")
-    return p.parse_args()
+    p.add_argument("--show-dir", default=None,
+                   help="dump rendered prediction overlays to this directory "
+                        "(reference tools/test.py:46-55 --show-dir)")
+    args = p.parse_args()
+    if args.tta and args.oracle:
+        p.error("--tta and --oracle are mutually exclusive: the TTA wrapper "
+                "always runs method='predict', which would silently ignore "
+                "--oracle")
+    return args
+
+
+def _dump_overlays(show_dir, metas, dets, probs, classes, score_thr=0.3):
+    """Render per-image prediction overlays during eval (reference
+    ``tools/test.py --show-dir`` / DetVisualizationHook)."""
+    import cv2
+    import numpy as np
+
+    from rsprompter_tpu.apis.inferencer import draw_predictions
+    from rsprompter_tpu.ops.masks import finalize_masks_np
+
+    os.makedirs(show_dir, exist_ok=True)
+    for i, meta in enumerate(metas):
+        if meta.get("img_id", -1) == -1:
+            continue
+        img = cv2.imread(meta["img_path"])
+        if img is None:
+            continue
+        keep = np.asarray(dets.valid[i]) & (np.asarray(dets.scores[i]) > score_thr)
+        ws, hs = meta["scale_factor"]
+        pred = dict(
+            bboxes=(np.asarray(dets.boxes[i])[keep]
+                    / np.array([ws, hs, ws, hs])).tolist(),
+            scores=np.asarray(dets.scores[i])[keep].tolist(),
+            labels=np.asarray(dets.labels[i])[keep].tolist(),
+            masks=finalize_masks_np(
+                probs[i][keep], meta["batch_input_shape"],
+                meta["ori_shape"], meta["scale_factor"],
+            ),
+        )
+        name = os.path.basename(meta.get("img_path", f"img_{meta['img_id']}.jpg"))
+        cv2.imwrite(
+            os.path.join(show_dir, name),
+            draw_predictions(img.astype(np.float32), pred, classes=classes),
+        )
 
 
 def main():
@@ -131,6 +174,7 @@ def main():
 
     metric = CocoMetric(num_classes=cfg.model.get("num_classes", 1))
     id_to_idx = {d["img_id"]: i for i, d in enumerate(dataset.data_list)}
+    classes = (dataset.metainfo or {}).get("classes")
     for batch_np, metas in loader:
         batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
         dets, mask_probs = predict(variables, batch)
@@ -139,7 +183,11 @@ def main():
             if m.get("img_id", -1) != -1 else None
             for m in metas
         ]
-        metric.process(metas, jax.device_get(dets), np.asarray(mask_probs), gts)
+        dets_np = jax.device_get(dets)
+        probs_np = np.asarray(mask_probs)
+        metric.process(metas, dets_np, probs_np, gts)
+        if args.show_dir:
+            _dump_overlays(args.show_dir, metas, dets_np, probs_np, classes)
     results = metric.compute()
     for k, v in results.items():
         print(f"{k}: {v}")

@@ -51,6 +51,13 @@ def main():
 
     from rsprompter_tpu.parallel.mesh import mesh_from_config
 
+    # multi-host: one process per host (tools/pod_train.sh); no-op single
+    # host. MUST run before any other backend touch. Raises (no silent
+    # single-host degradation) when coordinator env/args are present.
+    from rsprompter_tpu.parallel.distributed import initialize, process_info
+
+    initialize()
+
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(args.cfg_options)
     if args.amp:
@@ -67,17 +74,32 @@ def main():
     n_data = mesh.shape["data"] if mesh is not None else 1
     if mesh is not None:
         print(f"mesh: {dict(mesh.shape)} (zero={zero}, tp_rules={bool(tp_rules)})")
+    pinfo = process_info()
+    n_proc = pinfo["process_count"]
+    if n_proc > 1:
+        print(f"multi-host: {pinfo}")
+        assert mesh is not None, "multi-host run requires a device mesh"
 
     train_ds_cfg = dict(cfg.train_dataloader["dataset"])
-    train_ds_cfg["pipeline"] = build_train_pipeline(crop)
+    # train_aug=False -> deterministic resize/pad pipeline (overfit/debug runs)
+    train_ds_cfg["pipeline"] = (
+        build_train_pipeline(crop)
+        if cfg.get("train_aug", True)
+        else build_test_pipeline(crop)
+    )
     train_ds = DATASETS.build(train_ds_cfg)
+    # per-host loaders: each host loads 1/n_proc of the global batch
+    # (DataLoader shard_id/num_shards = the DistSampler analogue); batch_fn
+    # stitches the shards into globally-sharded arrays for the pjit step
+    shard_kw = dict(shard_id=pinfo["process_index"], num_shards=n_proc)
     train_loader = DataLoader(
         train_ds,
-        batch_size=cfg.train_dataloader.get("batch_size", 2) * n_data,
+        batch_size=cfg.train_dataloader.get("batch_size", 2) * n_data // n_proc,
         shuffle=True,
         max_gt=cfg.get("max_gt", 100),
         pad_shape=crop,
         prefetch=2 if cfg.train_dataloader.get("num_workers", 0) > 0 else 0,
+        **shard_kw,
     )
     val_loader = val_ds = None
     if cfg.get("val_dataloader"):
@@ -86,10 +108,16 @@ def main():
         val_ds = DATASETS.build(val_ds_cfg)
         val_loader = DataLoader(
             val_ds,
-            batch_size=cfg.val_dataloader.get("batch_size", 2) * n_data,
+            batch_size=cfg.val_dataloader.get("batch_size", 2) * n_data // n_proc,
             shuffle=False, drop_last=False,
             max_gt=cfg.get("max_gt", 100), pad_shape=crop,
+            **shard_kw,
         )
+    batch_fn = None
+    if n_proc > 1:
+        from rsprompter_tpu.parallel.distributed import local_batch_to_global
+
+        batch_fn = lambda b: local_batch_to_global(b, mesh)  # noqa: E731
 
     # init params
     batch_np, _ = next(iter(train_loader))
@@ -169,6 +197,7 @@ def main():
         tp_rules=tp_rules,
         lr_schedule=sched,
         vis_backends=build_vis_backends(cfg.get("vis_backends"), work_dir),
+        batch_fn=batch_fn,
     )
     runner.train(state, resume=args.resume)
 
