@@ -28,6 +28,16 @@ from rsprompter_tpu.engine.train_state import TrainState
 from rsprompter_tpu.evaluation.coco_metric import CocoMetric, gt_from_raw_sample
 
 
+def _host_rss_mb() -> float:
+    """Resident set size in MB (psutil-free: /proc/self/statm)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return round(pages * os.sysconf("SC_PAGE_SIZE") / 1e6, 1)
+    except Exception:
+        return -1.0
+
+
 class Runner:
     def __init__(
         self,
@@ -146,6 +156,9 @@ class Runner:
                     )
                     if self.lr_schedule is not None:
                         rec["lr"] = float(self.lr_schedule(it))
+                    rec["rss_mb"] = _host_rss_mb()  # MemoryProfilerHook
+                    # analogue (reference engine/hooks/memory_profiler_hook);
+                    # watches the uint8-upload fix for flat host RSS
                     last_log_t, last_log_it = now, it
                     self._log(rec)
                     # free dead device-array handles promptly: on the remote
