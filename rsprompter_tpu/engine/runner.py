@@ -65,6 +65,13 @@ class Runner:
         # _base_/rsprompter_anchor.py:9: save_best on BOTH metrics
         batch_fn=None,  # numpy batch -> device arrays; multi-host runs pass
         # local_batch_to_global so per-host shards stitch into global arrays
+        cache_train_batches: bool = False,  # upload each collated batch ONCE
+        # (first epoch), then reuse the device arrays with per-epoch order
+        # shuffling. Zero per-iter host->device traffic — the root-cause fix
+        # for the remote-tunnel host-RSS growth (client-held upload copies,
+        # ROADMAP r2 §6) whenever the dataset fits HBM. Only valid with a
+        # deterministic pipeline (train_aug=False): batch composition is
+        # frozen at epoch 0.
     ):
         self.model = model
         self.tx = tx
@@ -94,6 +101,7 @@ class Runner:
         self.batch_fn = batch_fn or (
             lambda b: {k: jax.numpy.asarray(v) for k, v in b.items()}
         )
+        self.cache_train_batches = cache_train_batches
         self.best_metrics = {k: -1.0 for k in self.save_best}
         self._predict_cache = None  # compiled once, reused across validates
 
@@ -132,9 +140,24 @@ class Runner:
         start_epoch = min(it // spe, self.max_epochs)
         last_log_t = time.perf_counter()
         last_log_it = it
+        device_batches = []  # cache_train_batches: filled during first epoch
         for epoch in range(start_epoch, self.max_epochs):
-            for batch_np, metas in self.train_loader:
-                batch = self.batch_fn(batch_np)
+            if self.cache_train_batches and device_batches:
+                order = np.random.RandomState(epoch).permutation(
+                    len(device_batches)
+                )
+                batches = (device_batches[i] for i in order)
+            else:
+
+                def _upload():
+                    for batch_np, _metas in self.train_loader:
+                        b = self.batch_fn(batch_np)
+                        if self.cache_train_batches:
+                            device_batches.append(b)
+                        yield b
+
+                batches = _upload()
+            for batch in batches:
                 state, metrics = step_fn(state, batch, self.rng)
                 it += 1
                 if it % self.log_interval == 0:

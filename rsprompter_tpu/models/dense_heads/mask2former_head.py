@@ -42,7 +42,11 @@ from rsprompter_tpu.models.task_modules.hungarian import (
     dice_cost,
     hungarian_match_batched,
 )
-from rsprompter_tpu.ops.point_utils import sample_mask_points, uncertain_point_coords
+from rsprompter_tpu.ops.point_utils import (
+    sample_mask_points,
+    sample_mask_points_shared,
+    uncertain_point_coords,
+)
 
 
 class MultiheadAttention(nn.Module):
@@ -442,10 +446,10 @@ class Mask2FormerHead(nn.Module):
         pts = jax.random.uniform(r_match, (b, self.num_points, 2))
 
         def cost_one(cp, mp, gl, gm, gv, p):
-            pred_pts = sample_mask_points(mp, jnp.broadcast_to(p[None], (q,) + p.shape))
-            gt_pts = sample_mask_points(
-                gm.astype(jnp.float32), jnp.broadcast_to(p[None], (g,) + p.shape)
-            )
+            # all Q preds / G targets sampled at the SAME points -> shared-
+            # index takes instead of a generic per-(mask, point) gather
+            pred_pts = sample_mask_points_shared(mp, p)
+            gt_pts = sample_mask_points_shared(gm.astype(jnp.float32), p)
             gt_pts = (gt_pts >= 0.5).astype(jnp.float32)
             cost = (
                 self.cls_weight * classification_cost(cp, gl)

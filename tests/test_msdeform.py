@@ -73,3 +73,35 @@ def test_sample_mask_points_center_value():
     m = jnp.zeros((1, 4, 4)).at[0, 1:3, 1:3].set(1.0)
     v = sample_mask_points(m, jnp.asarray([[[0.5, 0.5]]]))
     assert float(v[0, 0]) == 1.0
+
+
+def test_sample_mask_points_shared_matches_per_mask():
+    from rsprompter_tpu.ops.point_utils import sample_mask_points_shared
+
+    rng = jax.random.PRNGKey(3)
+    masks = jax.random.normal(rng, (6, 17, 23))
+    # include out-of-range points to exercise the zero-padding border
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(4), (64, 2), minval=-0.1, maxval=1.1
+    )
+    ref = sample_mask_points(masks, jnp.broadcast_to(pts[None], (6,) + pts.shape))
+    got = sample_mask_points_shared(masks, pts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_sample_mask_points_matmul_matches_gather():
+    from rsprompter_tpu.ops.point_utils import sample_mask_points_matmul
+
+    masks = jax.random.normal(jax.random.PRNGKey(5), (4, 19, 27))
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(6), (4, 96, 2), minval=-0.1, maxval=1.1
+    )
+    ref = sample_mask_points(masks, pts)
+    got = sample_mask_points_matmul(masks, pts)
+    # bf16 operands: ~0.4% relative tolerance
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.02, rtol=0.01)
+
+    # gradients w.r.t. the masks agree too (backward = matmuls, not scatter)
+    g_ref = jax.grad(lambda m: (sample_mask_points(m, pts) ** 2).sum())(masks)
+    g_got = jax.grad(lambda m: (sample_mask_points_matmul(m, pts) ** 2).sum())(masks)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=0.05, rtol=0.02)

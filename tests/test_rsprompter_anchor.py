@@ -123,3 +123,40 @@ def test_mask_chain_learns_on_fixed_batch(model_and_params):
     assert np.isfinite(losses).all()
     # the chain must actually optimize: final loss well below the initial
     assert losses[-1] < 0.7 * losses[0], losses
+
+
+def test_mask_loss_trains_through_point_emb_chain(model_and_params):
+    """VERDICT r2 #2 guard: gradients reach ``point_emb`` THROUGH the SAM mask
+    decoder, and one SGD step on the mask chain decreases ``loss_mask`` on a
+    fixed batch (reference chain: point_emb -> sparse prompts -> SamMaskDecoder
+    -> CE vs full-image targets, mmdet/rsprompter/models.py:1720-1744)."""
+    import flax
+
+    model, variables, batch = model_and_params
+    rng = jax.random.PRNGKey(7)
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+
+    def mask_loss(p):
+        losses = model.apply(
+            {"params": p, **extra}, batch, rng, method="loss",
+            mutable=["batch_stats"],
+        )[0]
+        return losses["loss_mask"]
+
+    l0, grads = jax.value_and_grad(mask_loss)(params)
+    flat = flax.traverse_util.flatten_dict(grads)
+    pe_sq = [
+        float(jnp.square(v).sum())
+        for k, v in flat.items()
+        if any(part.startswith("point_emb") for part in k)
+    ]
+    assert pe_sq, "no point_emb params found"
+    assert sum(pe_sq) > 0.0, "no gradient reaches point_emb through the SAM decoder"
+
+    # one small SGD step on the whole chain must reduce the mask loss
+    lr = 1e-3
+    gn = jnp.sqrt(sum(jnp.square(v).sum() for v in flat.values()))
+    stepped = jax.tree_util.tree_map(lambda p, g: p - lr * g / (gn + 1e-8), params, grads)
+    l1 = mask_loss(stepped)
+    assert float(l1) < float(l0), f"mask loss did not decrease: {l0} -> {l1}"

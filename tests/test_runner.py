@@ -117,3 +117,45 @@ def test_vis_backends(tmp_path):
     recs = [_json.loads(l) for l in open(offline[0])]
     assert recs[0]["_meta"]["project"] == "rsprompter-whu"
     assert any(r.get("loss") == 1.5 for r in recs)
+
+
+def test_cache_train_batches_uploads_once(tmp_path):
+    """cache_train_batches: batch_fn (host->device upload) runs only during
+    the first epoch; later epochs reuse device arrays (flat-RSS root fix)."""
+    train_ds = NWPUInsSegDataset(
+        ann_file="annotations/NWPU_instances_train.json", data_root=NWPU_ROOT,
+        data_prefix=dict(img="imgs"),
+        pipeline=build_test_pipeline((64, 64)),  # deterministic (no aug)
+        indices=4,
+    )
+    train_loader = DataLoader(train_ds, batch_size=2, max_gt=16, pad_shape=(64, 64))
+    model = _model()
+    batch_np, _ = next(iter(train_loader))
+    from rsprompter_tpu.ops.masks import unpack_batch_masks
+
+    batch = unpack_batch_masks(
+        {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, jax.random.PRNGKey(1),
+        method="loss",
+    )
+    tx, _ = build_optimizer(
+        variables["params"], base_lr=1e-3, total_steps=30,
+        freeze_paths=["backbone"],
+    )
+    state = TrainState.create(variables["params"], variables.get("batch_stats"), tx)
+    uploads = []
+
+    def counting_batch_fn(b):
+        uploads.append(1)
+        return unpack_batch_masks({k: jax.numpy.asarray(v) for k, v in b.items()})
+
+    runner = Runner(
+        model, tx, train_loader, work_dir=str(tmp_path),
+        max_epochs=3, val_interval=100, log_interval=100, num_classes=10,
+        batch_fn=counting_batch_fn, cache_train_batches=True,
+    )
+    state = runner.train(state)
+    assert int(state.step) == 6  # 2 batches x 3 epochs
+    assert len(uploads) == 2  # uploaded only in epoch 0

@@ -198,6 +198,9 @@ def main():
         lr_schedule=sched,
         vis_backends=build_vis_backends(cfg.get("vis_backends"), work_dir),
         batch_fn=batch_fn,
+        # only legal with the deterministic pipeline (train_aug=False)
+        cache_train_batches=cfg.get("cache_train_batches", False)
+        and not cfg.get("train_aug", True),
     )
     runner.train(state, resume=args.resume)
 
