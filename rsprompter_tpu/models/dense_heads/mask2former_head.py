@@ -43,7 +43,7 @@ from rsprompter_tpu.models.task_modules.hungarian import (
     hungarian_match_batched,
 )
 from rsprompter_tpu.ops.point_utils import (
-    sample_mask_points,
+    sample_mask_points_matmul,
     sample_mask_points_shared,
     uncertain_point_coords,
 )
@@ -494,12 +494,15 @@ class Mask2FormerHead(nn.Module):
                 preds, safe_q[:, :, None, None], axis=1
             )
             flat = matched.reshape((b * g,) + matched.shape[2:])
+            # all three samplers run as MXU one-hot matmuls: the generic
+            # per-(mask, point) gather is ~50 ns/point on TPU and dominated
+            # the whole train step (scripts/perf_point_loss.py)
             coords = uncertain_point_coords(
                 r_pts, flat, self.num_points, self.oversample_ratio,
-                self.importance_sample_ratio,
+                self.importance_sample_ratio, sampler=sample_mask_points_matmul,
             )
-            pred_pts = sample_mask_points(flat, coords)
-            tgt_pts = sample_mask_points(
+            pred_pts = sample_mask_points_matmul(flat, coords)
+            tgt_pts = sample_mask_points_matmul(
                 gt_masks.reshape((b * g,) + gt_masks.shape[2:]).astype(jnp.float32),
                 coords,
             )

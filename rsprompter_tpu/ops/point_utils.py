@@ -108,6 +108,7 @@ def uncertain_point_coords(
     num_points: int = 12544,
     oversample_ratio: float = 3.0,
     importance_sample_ratio: float = 0.75,
+    sampler=sample_mask_points,
 ) -> jax.Array:
     """Returns (N, num_points, 2) coords in [0,1]."""
     n = mask_logits.shape[0]
@@ -116,7 +117,7 @@ def uncertain_point_coords(
     k_rand = num_points - k_imp
     r1, r2 = jax.random.split(rng)
     cand = jax.random.uniform(r1, (n, k_over, 2))
-    logits = sample_mask_points(jax.lax.stop_gradient(mask_logits), cand)
+    logits = sampler(jax.lax.stop_gradient(mask_logits), cand)
     uncertainty = -jnp.abs(logits)
     _, idx = jax.lax.top_k(uncertainty, k_imp)
     imp = jnp.take_along_axis(cand, idx[..., None], axis=1)
