@@ -34,3 +34,9 @@ def devices():
 @pytest.fixture()
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration test (CLI subprocesses)"
+    )

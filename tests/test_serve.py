@@ -1,0 +1,90 @@
+"""tools/serve.py integration: batched HTTP serving on the CPU backend."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NWPU_IMG = "/root/reference/data/NWPU/imgs/003.jpg"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(NWPU_IMG), reason="NWPU data not available"
+)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_serve_batches_concurrent_requests(tmp_path):
+    port = _free_port()
+    argv = [
+        "tools/serve.py", "configs/rsprompter/smoke-nwpu-256.py",
+        "--port", str(port), "--max-batch", "4", "--batch-window-ms", "3000",
+    ]
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        f"sys.argv = {argv!r}\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        f"exec(compile(open({argv[0]!r}).read(), {argv[0]!r}, 'exec'),\n"
+        f"     {{'__name__': '__main__', '__file__': {argv[0]!r}}})\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.time() + 120
+        for line in proc.stdout:
+            if "serving on" in line:
+                break
+            if time.time() > deadline:
+                raise TimeoutError("server did not start")
+        assert proc.poll() is None
+
+        results = []
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict?score_thr=0.0",
+                data=json.dumps({"path": NWPU_IMG}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                results.append(json.loads(r.read()))
+
+        threads = [threading.Thread(target=post) for _ in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert len(results) == 3
+        for res in results:
+            assert {"bboxes", "scores", "labels", "masks_rle"} <= set(res)
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["images"] == 3
+        # the 3-second window coalesced the concurrent posts
+        assert health["batches"] < 3
+    finally:
+        proc.kill()
+        proc.wait()
