@@ -300,6 +300,7 @@ class Mask2FormerHead(nn.Module):
         image_pe: Optional[jax.Array] = None,
         decode_last_only: bool = False,
         batch_decode: bool = False,
+        return_prompts_only: bool = False,
     ):
         """Returns (cls_list, mask_list, mask_plus_list, mask_feature).
 
@@ -312,11 +313,18 @@ class Mask2FormerHead(nn.Module):
         on the point_batch axis (numerically identical — the decoder is
         pointwise over prompts; reference runs 7 sequential decodes at
         models.py:367-378). Cuts per-call overhead and keeps the big image-
-        side matmuls at full MXU occupancy."""
+        side matmuls at full MXU occupancy.
+
+        ``return_prompts_only`` (train-time, decoder_plus only): skip the SAM
+        decode entirely and return the per-layer prompt embeddings in place
+        of ``mask_list`` — ``loss()`` Hungarian-matches on the plus stream
+        first and then decodes ONLY the matched queries (the SAM-stream loss
+        never reads unmatched masks), ~Q/G x less decoder work, exact."""
         b = feats[0].shape[0]
         skip = decode_last_only and self.sam_prompting and self.decoder_plus
         collect = (
-            batch_decode and self.sam_prompting and self.decoder_plus and not skip
+            (batch_decode or return_prompts_only)
+            and self.sam_prompting and self.decoder_plus and not skip
         )
         mask_feature, memorys = self.pixel_decoder(feats)
         # memorys: low -> high resolution
@@ -369,27 +377,35 @@ class Mask2FormerHead(nn.Module):
                 (not skip) or i == self.num_decoder_layers - 1,
             )
 
+        if collect and return_prompts_only:
+            return cls_list, prompt_list, plus_list, mask_feature
         if collect:
             # one SAM decode for all layers: stack on the point_batch axis
             n_layers = len(prompt_list)
             q = self.num_queries
             sparse_all = jnp.concatenate([s for s, _ in prompt_list], axis=1)
             dense_all = jnp.concatenate([d for _, d in prompt_list], axis=1)
-            pe = image_pe
-            if pe.shape[0] != b:
-                pe = jnp.broadcast_to(pe, (b,) + pe.shape[1:])
-            masks, _ = self.mask_decoder(
-                image_embeddings=image_embeddings,
-                image_positional_embeddings=pe,
-                sparse_prompt_embeddings=sparse_all,
-                dense_prompt_embeddings=dense_all,
-                multimask_output=self.multimask_output,
-            )  # (B, L*Q, 1, 4h, 4w)
-            mask_all = masks[:, :, 0]
+            masks = self._decode_prompts(sparse_all, dense_all,
+                                         image_embeddings, image_pe)
             mask_list = [
-                mask_all[:, i * q : (i + 1) * q] for i in range(n_layers)
+                masks[:, i * q : (i + 1) * q] for i in range(n_layers)
             ]
         return cls_list, mask_list, plus_list, mask_feature
+
+    def _decode_prompts(self, sparse, dense, image_embeddings, image_pe):
+        """(B, N, K, C) sparse + (B, N, h, w, C) dense -> (B, N, 4h, 4w)."""
+        b = sparse.shape[0]
+        pe = image_pe
+        if pe.shape[0] != b:
+            pe = jnp.broadcast_to(pe, (b,) + pe.shape[1:])
+        masks, _ = self.mask_decoder(
+            image_embeddings=image_embeddings,
+            image_positional_embeddings=pe,
+            sparse_prompt_embeddings=sparse,
+            dense_prompt_embeddings=dense,
+            multimask_output=self.multimask_output,
+        )  # (B, N, 1, 4h, 4w)
+        return masks[:, :, 0]
 
     # -- loss ----------------------------------------------------------------
     def loss(
@@ -402,12 +418,14 @@ class Mask2FormerHead(nn.Module):
         image_embeddings: Optional[jax.Array] = None,
         image_pe: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
-        cls_list, mask_list, plus_list, _ = self(
+        sam_plus = self.sam_prompting and self.decoder_plus
+        cls_list, mask_or_prompts, plus_list, _ = self(
             feats, image_embeddings, image_pe,
-            batch_decode=self.sam_prompting and self.decoder_plus,
+            return_prompts_only=sam_plus,
         )
         losses: Dict[str, jax.Array] = {}
         n_layers = len(cls_list)
+        b, g = gt_labels.shape
         # phase 1: every layer's cost matrix on device, then ONE host
         # callback solves all (layer, image) assignments — on the remote TPU
         # a callback's transport latency dwarfs the scipy solve, so
@@ -417,21 +435,45 @@ class Mask2FormerHead(nn.Module):
             lr = jax.random.fold_in(rng, li)
             costs.append(self._match_cost(
                 lr, cls_list[li],
-                plus_list[li]
-                if (self.sam_prompting and self.decoder_plus)
-                else mask_list[li],
+                plus_list[li] if sam_plus else mask_or_prompts[li],
                 gt_labels, gt_masks, gt_valid,
             ))
         matched_all = hungarian_match_batched(
             jnp.stack(costs),  # (L, B, Q, G)
             jnp.broadcast_to(gt_valid[None], (n_layers,) + gt_valid.shape),
         )
-        # phase 2: per-layer losses under the precomputed matches
+        # phase 2 (decoder_plus): decode ONLY the matched queries' prompts —
+        # the SAM-stream loss never reads unmatched masks, matching ran on
+        # the plus stream, and the attention-mask chain never consumes the
+        # SAM stream, so this is exact with ~Q/G x less decoder work than
+        # the reference's decode-everything (models.py:367-378)
+        matched_masks = [None] * n_layers
+        if sam_plus:
+            safe_q = jnp.clip(matched_all, 0, self.num_queries - 1)  # (L,B,G)
+            sp, dn = [], []
+            for li in range(n_layers):
+                s, d = mask_or_prompts[li]  # (B,Q,K,C) / (B,Q,h,w,C)
+                sq = safe_q[li]
+                sp.append(jnp.take_along_axis(s, sq[:, :, None, None], axis=1))
+                dn.append(jnp.take_along_axis(
+                    d, sq[:, :, None, None, None], axis=1
+                ))
+            decoded = self._decode_prompts(
+                jnp.concatenate(sp, axis=1), jnp.concatenate(dn, axis=1),
+                image_embeddings, image_pe,
+            )  # (B, L*G, 4h, 4w)
+            matched_masks = [
+                decoded[:, li * g : (li + 1) * g] for li in range(n_layers)
+            ]
+        # phase 3: per-layer losses under the precomputed matches
         for li in range(n_layers):
             lr = jax.random.fold_in(rng, li)
             layer_losses = self._loss_single(
-                lr, cls_list[li], mask_list[li], plus_list[li],
+                lr, cls_list[li],
+                matched_masks[li] if sam_plus else mask_or_prompts[li],
+                plus_list[li],
                 gt_labels, gt_masks, gt_valid, matched_all[li],
+                mask_pred_matched=sam_plus,
             )
             prefix = "" if li == n_layers - 1 else f"d{li}."
             for k, v in layer_losses.items():
@@ -465,7 +507,10 @@ class Mask2FormerHead(nn.Module):
         )
 
     def _loss_single(self, rng, cls_pred, mask_pred, mask_plus,
-                     gt_labels, gt_masks, gt_valid, matched_q):
+                     gt_labels, gt_masks, gt_valid, matched_q,
+                     mask_pred_matched: bool = False):
+        """``mask_pred_matched=True``: ``mask_pred`` is already the per-GT
+        matched stream (B, G, h, w) — the match-then-decode path."""
         b, q = cls_pred.shape[:2]
         g = gt_labels.shape[1]
         _, r_pts = jax.random.split(rng)
@@ -488,9 +533,9 @@ class Mask2FormerHead(nn.Module):
         num_total = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
         gvalid = gt_valid & (matched_q >= 0)
 
-        def gt_stream(preds):
+        def gt_stream(preds, pre_matched=False):
             # preds (B, Q, h, w) -> matched (B, G, h, w)
-            matched = jnp.take_along_axis(
+            matched = preds if pre_matched else jnp.take_along_axis(
                 preds, safe_q[:, :, None, None], axis=1
             )
             flat = matched.reshape((b * g,) + matched.shape[2:])
@@ -509,8 +554,8 @@ class Mask2FormerHead(nn.Module):
             tgt_pts = (tgt_pts >= 0.5).astype(jnp.float32)
             return pred_pts, tgt_pts
 
-        def mask_losses(preds, suffix):
-            pred_pts, tgt_pts = gt_stream(preds)
+        def mask_losses(preds, suffix, pre_matched=False):
+            pred_pts, tgt_pts = gt_stream(preds, pre_matched)
             w = gvalid.reshape(-1).astype(jnp.float32)
             # dice (naive, eps=1)
             p = jax.nn.sigmoid(pred_pts)
@@ -527,7 +572,7 @@ class Mask2FormerHead(nn.Module):
             return {f"loss_mask{suffix}": loss_mask, f"loss_dice{suffix}": loss_dice}
 
         out = {"loss_cls": loss_cls}
-        out.update(mask_losses(mask_pred, ""))
+        out.update(mask_losses(mask_pred, "", pre_matched=mask_pred_matched))
         if self.sam_prompting and self.decoder_plus:
             out.update(mask_losses(mask_plus, "_plus"))
         return out

@@ -186,3 +186,62 @@ def test_batch_decode_matches_per_layer(query_model):
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             atol=2e-4, rtol=1e-3,
         )
+
+
+def test_match_then_decode_loss_is_exact(query_model):
+    """loss() decodes ONLY the matched queries (match runs on the plus
+    stream); must equal the decode-all-queries-then-gather formulation."""
+    from rsprompter_tpu.models.task_modules.hungarian import (
+        hungarian_match_batched,
+    )
+
+    model, variables, batch = query_model
+    rng = jax.random.PRNGKey(2)
+
+    fast = model.apply(
+        variables, batch, rng, method="loss", mutable=["batch_stats"]
+    )[0]
+
+    def decode_all_loss(self, batch, rng):
+        feats, image_embeddings, image_pe = self.extract_feat(
+            batch["images"], train=True
+        )
+        head = self.panoptic_head
+        gt_labels, gt_masks, gt_valid = (
+            batch["gt_labels"], batch["gt_masks"], batch["gt_valid"]
+        )
+        cls_list, mask_list, plus_list, _ = head(
+            feats, image_embeddings, image_pe, batch_decode=True
+        )
+        n_layers = len(cls_list)
+        costs = [
+            head._match_cost(
+                jax.random.fold_in(rng, li), cls_list[li], plus_list[li],
+                gt_labels, gt_masks, gt_valid,
+            )
+            for li in range(n_layers)
+        ]
+        matched_all = hungarian_match_batched(
+            jnp.stack(costs),
+            jnp.broadcast_to(gt_valid[None], (n_layers,) + gt_valid.shape),
+        )
+        losses = {}
+        for li in range(n_layers):
+            layer_losses = head._loss_single(
+                jax.random.fold_in(rng, li), cls_list[li], mask_list[li],
+                plus_list[li], gt_labels, gt_masks, gt_valid, matched_all[li],
+            )
+            prefix = "" if li == n_layers - 1 else f"d{li}."
+            for k, v in layer_losses.items():
+                losses[f"{prefix}{k}"] = v
+        return losses
+
+    slow = model.apply(
+        variables, batch, rng, method=decode_all_loss, mutable=["batch_stats"]
+    )[0]
+    assert set(fast) == set(slow)
+    for k in fast:
+        np.testing.assert_allclose(
+            np.asarray(fast[k], np.float32), np.asarray(slow[k], np.float32),
+            atol=2e-4, rtol=2e-3, err_msg=k,
+        )
