@@ -24,7 +24,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 
-from rsprompter_tpu.models.sam.common import SamLayerNorm
+from rsprompter_tpu.models.sam.common import FastConvTranspose2x2, SamLayerNorm
 
 _ARCH_CHANNELS = {"base": 768, "large": 1024, "huge": 1280}
 _ARCH_DEPTH = {"base": 12, "large": 24, "huge": 32}
@@ -151,13 +151,13 @@ class RSSimpleFPN(nn.Module):
     def __call__(self, x, train: bool = False):
         c = self.backbone_channel
         # fpn1: deconv x2 (stride 4 total) with LN+GELU between
-        y = nn.ConvTranspose(c // 2, (2, 2), strides=(2, 2), dtype=self.dtype, name="fpn1_0")(x)
+        y = FastConvTranspose2x2(c // 2, dtype=self.dtype, name="fpn1_0")(x)
         y = SamLayerNorm(name="fpn1_1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2), dtype=self.dtype, name="fpn1_3")(y)
+        y = FastConvTranspose2x2(c // 4, dtype=self.dtype, name="fpn1_3")(y)
         inputs = [y]
         inputs.append(
-            nn.ConvTranspose(c // 2, (2, 2), strides=(2, 2), dtype=self.dtype, name="fpn2_0")(x)
+            FastConvTranspose2x2(c // 2, dtype=self.dtype, name="fpn2_0")(x)
         )
         inputs.append(x)
         inputs.append(nn.max_pool(x, (2, 2), strides=(2, 2)))

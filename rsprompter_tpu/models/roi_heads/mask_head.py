@@ -17,6 +17,8 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from rsprompter_tpu.models.sam.common import FastConvTranspose2x2
 import numpy as np
 
 from rsprompter_tpu.models.losses import mask_cross_entropy
@@ -39,9 +41,8 @@ class FCNMaskHead(nn.Module):
                 name=f"convs_{i}_conv",
             )(x)
             x = nn.relu(x)
-        x = nn.ConvTranspose(
-            self.conv_out_channels, (2, 2), strides=(2, 2), dtype=self.dtype,
-            name="upsample",
+        x = FastConvTranspose2x2(
+            self.conv_out_channels, dtype=self.dtype, name="upsample",
         )(x)
         x = nn.relu(x)
         out_ch = 1 if self.class_agnostic else self.num_classes

@@ -15,6 +15,41 @@ import jax
 import jax.numpy as jnp
 
 
+class FastConvTranspose2x2(nn.Module):
+    """Stride-2 kernel-2 ConvTranspose as one MXU matmul + depth-to-space.
+
+    With kernel == stride the output taps never overlap:
+    ``out[b, 2i+di, 2j+dj, o] = Σ_c in[b,i,j,c] · W[di,dj,c,o] + bias`` — a
+    plain (B·H·W, C) @ (C, 4·O) matmul followed by a block interleave. XLA's
+    generic ConvTranspose lowering (input-dilated convolution) tiles this
+    badly on TPU: the upscaler measured 17.7 ms of the 56 ms 100-prompt
+    decode (scripts/perf_decode_parts.py). Parameter tree (kernel/bias,
+    kernel shape (2, 2, C, O)) is identical to ``nn.ConvTranspose`` so
+    checkpoints load unchanged."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (2, 2, c, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or x.dtype
+        # flax ConvTranspose applies the kernel spatially FLIPPED:
+        # out[2i+di, 2j+dj] = in[i,j,c] · W[1-di, 1-dj, c, o]
+        y = jnp.einsum(
+            "bhwc,decf->bhwdef",
+            x.astype(dt), kernel[::-1, ::-1].astype(dt),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        # (b, h, w, 2, 2, f) -> (b, h, 2, w, 2, f) -> (b, 2h, 2w, f)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, self.features)
+        return y + bias.astype(dt)
+
+
 class MLPBlock(nn.Module):
     """Two-layer GELU MLP: lin1 -> gelu -> lin2 (HF SamMLPBlock)."""
 

@@ -19,7 +19,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from rsprompter_tpu.models.sam.common import MLPBlock, SamFeedForward, SamLayerNorm
+from rsprompter_tpu.models.sam.common import (
+    FastConvTranspose2x2,
+    MLPBlock,
+    SamFeedForward,
+    SamLayerNorm,
+)
 from rsprompter_tpu.models.sam.configs import SamMaskDecoderConfig
 
 
@@ -292,15 +297,13 @@ class SamMaskDecoder(nn.Module):
 
         # upscale image embedding 4x: (B*P, h, w, C) -> (B*P, 4h, 4w, C/8)
         img_sp = img_emb.reshape(b * p, h, w, c)
-        up = nn.ConvTranspose(
-            cfg.hidden_size // 4, (2, 2), strides=(2, 2), dtype=self.dtype,
-            name="upscale_conv1",
+        up = FastConvTranspose2x2(
+            cfg.hidden_size // 4, dtype=self.dtype, name="upscale_conv1",
         )(img_sp)
         up = SamLayerNorm(name="upscale_layer_norm")(up)
         up = nn.gelu(up, approximate=False)
-        up = nn.ConvTranspose(
-            cfg.hidden_size // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
-            name="upscale_conv2",
+        up = FastConvTranspose2x2(
+            cfg.hidden_size // 8, dtype=self.dtype, name="upscale_conv2",
         )(up)
         up = nn.gelu(up, approximate=False)  # (B*P, 4h, 4w, C/8)
 

@@ -96,14 +96,19 @@ def test_train_cli_sharded_tp_zero():
 
 
 @pytest.mark.slow
-def test_test_cli_sharded_8dev():
+def test_test_cli_sharded_8dev(tmp_path):
+    show = str(tmp_path / "overlays")
     proc = _run_cli(
         [
             os.path.join(REPO, "tools/test.py"),
             os.path.join(REPO, "configs/rsprompter/smoke-nwpu-256.py"),
+            "--show-dir", show,
             "--cfg-options", "val_dataloader.batch_size=1",
             "val_dataloader.dataset.indices=8",
         ]
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "coco/segm_mAP" in proc.stdout
+    # --show-dir wrote rendered overlays (reference tools/test.py:46-55)
+    rendered = [f for f in os.listdir(show) if f.endswith(".jpg")]
+    assert rendered, "no overlays written by --show-dir"

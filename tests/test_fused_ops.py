@@ -278,3 +278,20 @@ def test_safe_softmax_in_range_matches_clamp():
     a = fused_qkv_attention(qkv, th, th, (h, w), True)
     b = fused_qkv_attention(qkv, th, th, (h, w), False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_fast_conv_transpose_matches_flax():
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from rsprompter_tpu.models.sam.mask_decoder import FastConvTranspose2x2
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 7, 16))
+    ref_mod = nn.ConvTranspose(8, (2, 2), strides=(2, 2))
+    fast_mod = FastConvTranspose2x2(8)
+    params = ref_mod.init(jax.random.PRNGKey(1), x)
+    ref = ref_mod.apply(params, x)
+    got = fast_mod.apply(params, x)  # identical param tree
+    assert got.shape == ref.shape == (2, 10, 14, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
