@@ -36,7 +36,9 @@ class DetInferencer:
         weights: Optional[str] = None,
         batch_size: int = 1,
         size_buckets: Optional[Sequence[int]] = None,
+        mask_transfer: str = "u8",
     ):
+        assert mask_transfer in ("u8", "f32", "bits"), mask_transfer
         if isinstance(model, str):
             cfg = Config.fromfile(model)
         elif isinstance(model, Config):
@@ -52,6 +54,7 @@ class DetInferencer:
         self.num_classes = cfg.model.get("num_classes", 1)
         self._variables = None
         self._predict = None
+        self.mask_transfer = mask_transfer
         self.weights = weights
         self.sam_ckpt = cfg.model.get("hf_sam_pretrain_ckpt_path") or cfg.model.get(
             "sam_checkpoint"
@@ -89,9 +92,21 @@ class DetInferencer:
         self._variables = {**variables, "params": params}
         if bstats is not None:
             self._variables["batch_stats"] = bstats
-        self._predict = jax.jit(
-            lambda v, b: self.model.apply(v, b, method="predict")
-        )
+        from rsprompter_tpu.ops.masks import pack_mask_bits, quantize_probs_u8
+
+        def _pred(v, b):
+            dets, probs = self.model.apply(v, b, method="predict")
+            # device->host transfer of (B, N, 256, 256) fp32 probs dominates
+            # serving latency on a slow link; ship uint8 (4x less, lossless
+            # for the threshold chain) or thresholded packed bits (32x less,
+            # boundary-band deviation; see pack_mask_bits)
+            if self.mask_transfer == "u8":
+                probs = quantize_probs_u8(probs)
+            elif self.mask_transfer == "bits":
+                probs = pack_mask_bits(probs)
+            return dets, probs
+
+        self._predict = jax.jit(_pred)
 
     def _load_image(self, x) -> np.ndarray:
         if isinstance(x, str):
@@ -155,8 +170,15 @@ class DetInferencer:
                     labels=np.asarray(dets.labels[i])[keep].tolist(),
                 )
                 if return_masks and mask_probs is not None:
+                    probs_i = mask_probs[i][keep]
+                    if self.mask_transfer == "bits":
+                        from rsprompter_tpu.ops.masks import unpack_mask_bits
+
+                        probs_i = unpack_mask_bits(
+                            probs_i, probs_i.shape[-1] * 8
+                        )
                     masks = finalize_masks_np(
-                        mask_probs[i][keep], meta["batch_input_shape"],
+                        probs_i, meta["batch_input_shape"],
                         meta["ori_shape"], meta["scale_factor"],
                     )
                     pred["masks"] = masks

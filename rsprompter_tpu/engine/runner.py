@@ -26,6 +26,7 @@ from rsprompter_tpu.engine.checkpoint import (
 )
 from rsprompter_tpu.engine.train_state import TrainState
 from rsprompter_tpu.evaluation.coco_metric import CocoMetric, gt_from_raw_sample
+from rsprompter_tpu.ops.masks import quantize_probs_u8
 
 
 def _host_rss_mb() -> float:
@@ -217,7 +218,11 @@ class Runner:
             return self._predict_cache
 
         def predict(variables, batch):
-            return self.model.apply(variables, batch, method="predict")
+            dets, probs = self.model.apply(variables, batch, method="predict")
+            # uint8 transfer: 4x less device->host traffic for the mask probs
+            # (the dominant eval-loop cost on a slow link); dequantized
+            # host-side by ops.masks.probs_to_f32/finalize_masks_np
+            return dets, quantize_probs_u8(probs)
 
         if self.mesh is not None:
             from rsprompter_tpu.parallel.mesh import (

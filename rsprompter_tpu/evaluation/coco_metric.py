@@ -16,7 +16,7 @@ import numpy as np
 from rsprompter_tpu.core.registry import METRICS
 from rsprompter_tpu.evaluation.coco_eval import CocoEvaluator
 from rsprompter_tpu.evaluation.rle import encode_masks
-from rsprompter_tpu.ops.masks import finalize_masks_np
+from rsprompter_tpu.ops.masks import finalize_masks_np, probs_to_f32
 
 
 @METRICS.register_module()
@@ -69,7 +69,7 @@ class CocoMetric:
                 ori_h, ori_w = meta["ori_shape"]
                 if self.mask_mode == "fullframe":
                     bin_masks = finalize_masks_np(
-                        np.asarray(mask_probs[i][keep], np.float32),
+                        mask_probs[i][keep],
                         meta["batch_input_shape"],
                         (ori_h, ori_w),
                         meta["scale_factor"],
@@ -79,7 +79,7 @@ class CocoMetric:
                     from rsprompter_tpu.models.roi_heads.mask_head import paste_masks_np
 
                     bin_masks = paste_masks_np(
-                        np.asarray(mask_probs[i][keep], np.float32),
+                        probs_to_f32(mask_probs[i][keep]),
                         det_boxes, ori_h, ori_w, thr=self.mask_thr,
                     )
                 det["masks"] = encode_masks(bin_masks)

@@ -46,6 +46,56 @@ def unpack_batch_masks(batch: dict) -> dict:
     return batch
 
 
+def quantize_probs_u8(probs: jax.Array) -> jax.Array:
+    """Device-side uint8 quantization of sigmoid probs for host transfer.
+
+    The predict outputs' (B, N, 256, 256) fp32 probs dominate device->host
+    time on a slow link (52 MB/batch at bs2/N100); rounding to 255 levels is
+    lossless for the downstream bilinear-resize -> threshold-0.5 chain up to
+    a half-level (~0.002) boundary wobble, and cuts transfer 4x. Host side:
+    ``probs_to_f32`` / ``finalize_masks_np`` dequantize automatically.
+    """
+    import jax.numpy as jnp
+
+    return jnp.round(probs * 255.0).astype(jnp.uint8)
+
+
+def pack_mask_bits(probs: jax.Array, thr: float = 0.5) -> jax.Array:
+    """Device-side threshold + bit-pack for minimum-traffic mask transfer.
+
+    (..., H, W) probs -> (..., H, W/8) uint8, MSB-first (np.packbits layout;
+    inverse of ``unpack_bits``). 32x less transfer than fp32. Semantics
+    deviation vs the reference chain: thresholding happens at low res BEFORE
+    the upsample-to-ori resize, so mask boundaries can differ within the
+    bilinear transition band (~1 low-res pixel). Opt-in via
+    ``mask_transfer='bits'`` (serving latency mode).
+    """
+    import jax.numpy as jnp
+
+    bits = (probs >= thr).astype(jnp.uint8)
+    *lead, h, w = bits.shape
+    bits = bits.reshape(*lead, h, w // 8, 8)
+    weights = (jnp.uint8(1) << jnp.arange(7, -1, -1, dtype=jnp.uint8))
+    return (bits * weights).sum(-1, dtype=jnp.uint8)
+
+
+def unpack_mask_bits(packed: np.ndarray, width: int) -> np.ndarray:
+    """Host-side inverse of ``pack_mask_bits``: (..., W/8) uint8 -> (..., W)
+    float32 in {0, 1} (ready for ``finalize_masks_np``)."""
+    packed = np.asarray(packed)
+    bits = np.unpackbits(packed, axis=-1)[..., :width]
+    return bits.astype(np.float32)
+
+
+def probs_to_f32(probs: np.ndarray) -> np.ndarray:
+    """Host-side dequantization: uint8 (quantize_probs_u8) -> fp32 in [0,1];
+    float inputs pass through as fp32."""
+    probs = np.asarray(probs)
+    if probs.dtype == np.uint8:
+        return probs.astype(np.float32) / 255.0
+    return probs.astype(np.float32)
+
+
 def upsample_masks(masks: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Bilinear-resize (..., h, w) masks to (..., H, W) on device."""
     out_shape = masks.shape[:-2] + tuple(size)
@@ -86,7 +136,7 @@ def finalize_masks_np(
     in_h, in_w = batch_input_shape
     ori_h, ori_w = ori_shape
     w_scale, h_scale = scale_factor
-    up = _np_bilinear_resize(mask_probs.astype(np.float32), in_h, in_w)
+    up = _np_bilinear_resize(probs_to_f32(mask_probs), in_h, in_w)
     crop_h = int(ori_h * h_scale)
     crop_w = int(ori_w * w_scale)
     up = up[:, :crop_h, :crop_w]

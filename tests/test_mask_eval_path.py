@@ -72,3 +72,68 @@ def test_perfect_lowres_masks_score_high():
     # low-res roundtrip costs some boundary IoU but must be near-perfect @.5
     assert out["coco/segm_mAP_50"] == 1.0
     assert out["coco/segm_mAP"] > 0.5
+
+
+def test_uint8_quantized_probs_match_fp32():
+    """The uint8 transfer path (quantize_probs_u8 on device, probs_to_f32 /
+    finalize_masks_np dequantizing host-side) must produce near-identical
+    binary masks and identical mAP to the fp32 path."""
+    import jax.numpy as jnp
+
+    from rsprompter_tpu.ops.masks import (
+        finalize_masks_np,
+        probs_to_f32,
+        quantize_probs_u8,
+    )
+
+    meta, gts, dets, probs = _make_case(200, 160, 256, 64)
+    u8 = np.asarray(quantize_probs_u8(jnp.asarray(probs)))
+    assert u8.dtype == np.uint8
+    deq = probs_to_f32(u8)
+    assert np.abs(deq - probs).max() <= 0.5 / 255 + 1e-7
+
+    m_f32 = finalize_masks_np(
+        probs[0], meta["batch_input_shape"], meta["ori_shape"],
+        meta["scale_factor"],
+    )
+    m_u8 = finalize_masks_np(
+        u8[0], meta["batch_input_shape"], meta["ori_shape"],
+        meta["scale_factor"],
+    )
+    # a <=half-level boundary wobble: >99.9% of pixels agree
+    agree = (m_f32 == m_u8).mean()
+    assert agree > 0.999, agree
+
+    metric = CocoMetric(num_classes=1)
+    metric.process([meta], dets, u8, [gts])
+    out = metric.compute()
+    assert out["coco/segm_mAP_50"] == 1.0
+
+
+def test_packed_bits_transfer_roundtrip():
+    """bits mode: device pack (threshold @ low res + packbits) must invert
+    exactly through unpack_mask_bits, and still eval to segm mAP50 = 1.0 on
+    the synthetic perfect-mask case."""
+    import jax.numpy as jnp
+
+    from rsprompter_tpu.evaluation.rle import encode_masks  # noqa: F401
+    from rsprompter_tpu.ops.masks import (
+        finalize_masks_np,
+        pack_mask_bits,
+        unpack_mask_bits,
+    )
+
+    meta, gts, dets, probs = _make_case(200, 160, 256, 64)
+    packed = np.asarray(pack_mask_bits(jnp.asarray(probs)))
+    assert packed.shape == probs.shape[:-1] + (probs.shape[-1] // 8,)
+    unpacked = unpack_mask_bits(packed, probs.shape[-1])
+    np.testing.assert_array_equal(unpacked, (probs >= 0.5).astype(np.float32))
+
+    masks = finalize_masks_np(
+        unpacked[0], meta["batch_input_shape"], meta["ori_shape"],
+        meta["scale_factor"],
+    )
+    metric = CocoMetric(num_classes=1)
+    metric.process([meta], dets, unpacked, [gts])
+    assert metric.compute()["coco/segm_mAP_50"] == 1.0
+    assert masks.dtype == bool

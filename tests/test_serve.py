@@ -7,6 +7,7 @@ import subprocess
 import sys
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import pytest
@@ -25,6 +26,40 @@ def _free_port():
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def test_request_timeout_returns_503():
+    """A request whose batch never completes must get a 503, not hang."""
+    from http.server import ThreadingHTTPServer
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import serve as serve_mod
+
+    class StuckWorker:
+        batches_run = 0
+        images_run = 0
+
+        def submit(self, job):
+            pass  # never sets job.event
+
+    port = _free_port()
+    handler = serve_mod.make_handler(
+        StuckWorker(), "m", 0.3, request_timeout=0.2
+    )
+    srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"path": NWPU_IMG}).encode(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 503
+    finally:
+        srv.shutdown()
 
 
 @pytest.mark.slow

@@ -50,6 +50,14 @@ def parse_args():
     p.add_argument("--warmup", action="store_true",
                    help="compile every size bucket before accepting requests")
     p.add_argument("--score-thr", type=float, default=0.3)
+    p.add_argument("--mask-transfer", default="u8",
+                   choices=("u8", "f32", "bits"),
+                   help="device->host mask encoding: u8 (4x less traffic, "
+                        "default), f32 (exact), bits (32x less; thresholds "
+                        "at low res — lowest latency)")
+    p.add_argument("--request-timeout", type=float, default=60.0,
+                   help="seconds a request may wait for its batch result "
+                        "before the server answers 503 (0 = wait forever)")
     return p.parse_args()
 
 
@@ -127,7 +135,8 @@ class BatchWorker(threading.Thread):
         return out
 
 
-def make_handler(worker: BatchWorker, model_name: str, default_thr: float):
+def make_handler(worker: BatchWorker, model_name: str, default_thr: float,
+                 request_timeout: float = 60.0):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet access log
             pass
@@ -165,7 +174,13 @@ def make_handler(worker: BatchWorker, model_name: str, default_thr: float):
                 return
             job = _Job(img, thr, want_masks)
             worker.submit(job)
-            job.event.wait()
+            done = job.event.wait(request_timeout or None)
+            if not done:
+                self._send(503, {
+                    "error": f"timed out after {request_timeout:.0f}s "
+                             "(device busy; retry later)"
+                })
+                return
             if job.error:
                 self._send(500, {"error": job.error})
             else:
@@ -199,9 +214,11 @@ def main():
         [int(s) for s in args.size_buckets.split(",")]
         if args.size_buckets else None
     )
+    if args.checkpoint and not os.path.exists(args.checkpoint):
+        sys.exit(f"checkpoint not found: {args.checkpoint}")
     inferencer = DetInferencer(
         args.config, weights=args.checkpoint, batch_size=args.max_batch,
-        size_buckets=buckets,
+        size_buckets=buckets, mask_transfer=args.mask_transfer,
     )
     worker = BatchWorker(inferencer, args.max_batch, args.batch_window_ms / 1e3)
     if args.warmup:
@@ -216,7 +233,8 @@ def main():
     worker.start()
     server = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(worker, os.path.basename(args.config), args.score_thr),
+        make_handler(worker, os.path.basename(args.config), args.score_thr,
+                     args.request_timeout),
     )
     print(f"serving on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, window={args.batch_window_ms}ms)",

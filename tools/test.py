@@ -151,6 +151,17 @@ def main():
             iou_thr=tcfg.get("nms_iou_thr", 0.5),
             max_per_img=tcfg.get("max_per_img", 100),
         )
+    from rsprompter_tpu.ops.masks import quantize_probs_u8
+
+    def _raw_predict(v, b):
+        if args.tta:
+            dets, probs = tta_fn(v, b)
+        else:
+            dets, probs = model.apply(v, b, method=method)
+        # uint8 transfer of mask probs (4x less device->host traffic);
+        # host side dequantizes via probs_to_f32/finalize_masks_np
+        return dets, quantize_probs_u8(probs)
+
     if mesh is not None:
         from rsprompter_tpu.parallel.mesh import batch_shardings, param_shardings
 
@@ -160,14 +171,9 @@ def main():
         }
         b_sh = batch_shardings(batch, mesh)
         variables = jax.device_put(variables, v_sh)
-        predict = jax.jit(
-            tta_fn if args.tta else (lambda v, b: model.apply(v, b, method=method)),
-            in_shardings=(v_sh, b_sh),
-        )
+        predict = jax.jit(_raw_predict, in_shardings=(v_sh, b_sh))
     else:
-        predict = jax.jit(
-            tta_fn if args.tta else (lambda v, b: model.apply(v, b, method=method))
-        )
+        predict = jax.jit(_raw_predict)
     from rsprompter_tpu.utils.memory import oom_guard
 
     predict = oom_guard(predict)  # AvoidOOM analogue: halve batch on OOM
