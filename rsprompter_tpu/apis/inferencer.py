@@ -108,6 +108,20 @@ class DetInferencer:
 
         self._predict = jax.jit(_pred)
 
+    def verify_weights(self) -> None:
+        """Load the configured checkpoint files host-side, raising on any
+        failure — serve-startup verification without paying a device compile
+        (``_ensure_initialized`` re-reads them when the first batch arrives).
+        """
+        if self.sam_ckpt and os.path.exists(self.sam_ckpt):
+            from rsprompter_tpu.utils.torch_convert import load_torch_checkpoint
+
+            load_torch_checkpoint(self.sam_ckpt)
+        if self.weights:
+            from rsprompter_tpu.engine.checkpoint import restore_train_params
+
+            restore_train_params(self.weights)
+
     def _load_image(self, x) -> np.ndarray:
         if isinstance(x, str):
             import cv2
@@ -130,12 +144,16 @@ class DetInferencer:
         predictions = []
         for start in range(0, len(inputs), self.batch_size):
             chunk = inputs[start : start + self.batch_size]
+            imgs = [self._load_image(item) for item in chunk]
+            # one bucket per chunk (the smallest that fits every image):
+            # per-image buckets would resize samples to different sizes and
+            # break the collate pad
+            hw = max(max(im.shape[0], im.shape[1]) for im in imgs)
+            crop = self._bucket_for(hw, hw)
+            pipeline = build_test_pipeline(crop)
             samples = []
-            crop = self.crop_size
-            for item in chunk:
-                img = self._load_image(item)
+            for item, img in zip(chunk, imgs):
                 h, w = img.shape[:2]
-                crop = self._bucket_for(h, w)
                 s = dict(
                     img=img, img_id=start, img_path=item if isinstance(item, str) else "",
                     ori_shape=(h, w), img_shape=(h, w), scale_factor=(1.0, 1.0),
@@ -144,7 +162,7 @@ class DetInferencer:
                     gt_ignore_flags=np.zeros(0, bool),
                     gt_masks=np.zeros((0, h, w), np.uint8),
                 )
-                for t in build_test_pipeline(crop):
+                for t in pipeline:
                     s = t(s)
                 samples.append(s)
             batch_np, metas = collate_batch(

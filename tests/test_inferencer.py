@@ -24,6 +24,53 @@ def test_bucket_routing():
     assert inf2._bucket_for(300, 400) == (1024, 1024)
 
 
+def test_mixed_size_chunk_uses_one_bucket():
+    """A chunk with images from different buckets must pipeline + collate at
+    ONE bucket (the smallest that fits all) — per-image buckets would resize
+    samples to different sizes and break the collate pad."""
+    import types
+
+    inf = _inf([256, 512])
+    inf.batch_size = 2
+    seen = []
+
+    def fake_predict(v, b):
+        seen.append(tuple(np.asarray(b["images"]).shape))
+        n = b["images"].shape[0]
+        dets = types.SimpleNamespace(
+            valid=np.zeros((n, 5), bool),
+            scores=np.zeros((n, 5), np.float32),
+            boxes=np.zeros((n, 5, 4), np.float32),
+            labels=np.zeros((n, 5), np.int64),
+        )
+        return dets, np.zeros((n, 5, 64, 64), np.float32)
+
+    inf._ensure_initialized = lambda b: None
+    inf._variables = {}
+    inf._predict = fake_predict
+    out = inf(
+        [np.zeros((200, 200, 3), np.float32),
+         np.zeros((400, 400, 3), np.float32)],
+        return_masks=False,
+    )
+    assert len(out["predictions"]) == 2
+    assert seen == [(2, 512, 512, 3)]
+
+
+def test_verify_weights_raises_on_garbage(tmp_path):
+    bad = tmp_path / "ckpt.pth"
+    bad.write_bytes(b"not a checkpoint")
+    inf = DetInferencer(
+        {"type": "RSPrompterAnchor", "arch": "base", "num_classes": 1,
+         "image_size": 1024},
+        weights=str(bad),
+    )
+    import pytest
+
+    with pytest.raises(Exception):
+        inf.verify_weights()
+
+
 def test_draw_predictions_runs():
     img = np.zeros((64, 64, 3), np.float32)
     pred = dict(

@@ -62,6 +62,38 @@ def test_request_timeout_returns_503():
         srv.shutdown()
 
 
+def test_batch_worker_groups_by_bucket():
+    """Mixed-size jobs in one drained batch must run as one predict per size
+    bucket (small images never pay big-bucket compute, and each sub-batch
+    collates at a single input size)."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import serve as serve_mod
+
+    calls = []
+
+    class FakeInferencer:
+        def _bucket_for(self, h, w):
+            return (256, 256) if max(h, w) <= 256 else (512, 512)
+
+        def __call__(self, imgs, **kw):
+            calls.append(sorted(im.shape[0] for im in imgs))
+            return {"predictions": [
+                {"bboxes": [], "scores": [], "labels": []} for _ in imgs
+            ]}
+
+    w = serve_mod.BatchWorker(FakeInferencer(), 8, 0.01)
+    jobs = [
+        serve_mod._Job(np.zeros((s, s, 3), np.float32), 0.3, False)
+        for s in (200, 400, 220)
+    ]
+    w._run_batch(jobs)
+    assert sorted(calls) == [[200, 220], [400]]
+    assert all(j.event.is_set() and j.result is not None for j in jobs)
+    assert w.images_run == 3 and w.batches_run == 2
+
+
 @pytest.mark.slow
 def test_serve_batches_concurrent_requests(tmp_path):
     port = _free_port()

@@ -55,9 +55,12 @@ def parse_args():
                    help="device->host mask encoding: u8 (4x less traffic, "
                         "default), f32 (exact), bits (32x less; thresholds "
                         "at low res — lowest latency)")
-    p.add_argument("--request-timeout", type=float, default=60.0,
+    p.add_argument("--request-timeout", type=float, default=0.0,
                    help="seconds a request may wait for its batch result "
-                        "before the server answers 503 (0 = wait forever)")
+                        "before the server answers 503 (default 0 = wait "
+                        "forever; a first request can legitimately wait out "
+                        "a multi-minute cold compile — pair a timeout with "
+                        "--warmup so requests never pay compiles)")
     return p.parse_args()
 
 
@@ -103,20 +106,27 @@ class BatchWorker(threading.Thread):
             self._run_batch(batch)
 
     def _run_batch(self, batch) -> None:
-        try:
-            out = self.inferencer(
-                [j.img for j in batch], return_masks=True, score_thr=0.0
-            )["predictions"]
-            self.batches_run += 1
-            self.images_run += len(batch)
-            for j, pred in zip(batch, out):
-                j.result = self._post(pred, j)
-        except Exception as e:  # pragma: no cover - surfaced as HTTP 500
-            for j in batch:
-                j.error = f"{type(e).__name__}: {e}"
-        finally:
-            for j in batch:
-                j.event.set()
+        # one predict per size bucket: small images never pay big-bucket
+        # compute, and every sub-batch collates at a single input size
+        groups: "dict[tuple, list[_Job]]" = {}
+        for j in batch:
+            h, w = j.img.shape[:2]
+            groups.setdefault(self.inferencer._bucket_for(h, w), []).append(j)
+        for jobs in groups.values():
+            try:
+                out = self.inferencer(
+                    [j.img for j in jobs], return_masks=True, score_thr=0.0
+                )["predictions"]
+                self.batches_run += 1
+                self.images_run += len(jobs)
+                for j, pred in zip(jobs, out):
+                    j.result = self._post(pred, j)
+            except Exception as e:  # pragma: no cover - surfaced as HTTP 500
+                for j in jobs:
+                    j.error = f"{type(e).__name__}: {e}"
+            finally:
+                for j in jobs:
+                    j.event.set()
 
     @staticmethod
     def _post(pred, job: _Job) -> dict:
@@ -136,7 +146,7 @@ class BatchWorker(threading.Thread):
 
 
 def make_handler(worker: BatchWorker, model_name: str, default_thr: float,
-                 request_timeout: float = 60.0):
+                 request_timeout: float = 0.0):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet access log
             pass
@@ -220,6 +230,7 @@ def main():
         args.config, weights=args.checkpoint, batch_size=args.max_batch,
         size_buckets=buckets, mask_transfer=args.mask_transfer,
     )
+    inferencer.verify_weights()  # fail on unreadable ckpts before binding
     worker = BatchWorker(inferencer, args.max_batch, args.batch_window_ms / 1e3)
     if args.warmup:
         for size in buckets or [inferencer.crop_size[0]]:
