@@ -149,5 +149,10 @@ def make_sharded_train_step(
         out_shardings=(state_sh, scalar_sh),
         donate_argnums=(0,),
     )
-    sharded_state = jax.device_put(state, state_sh)
+    placed = jax.device_put(state, state_sh)
+    # device_put reuses a matching source buffer as one of the target
+    # shards (no-copy alias) — the donated step would then delete the
+    # CALLER's arrays on its first call. Force fresh buffers (jnp.copy is a
+    # real copy_p, never passthrough, and preserves the sharding).
+    sharded_state = jax.tree_util.tree_map(jnp.copy, placed)
     return step, sharded_state
