@@ -538,6 +538,11 @@ def _pair_fwd_vjp(qkv_pair, rel_pos_h, rel_pos_w, hw, safe):
 
 def _pair_bwd_vjp(hw, safe, residuals, g):
     qkv_pair, rel_pos_h, rel_pos_w = residuals
+    if not _interpret():
+        # TPU: flash-style Pallas backward (recompute P in-kernel). CPU
+        # keeps the XLA recompute — interpret-mode Pallas is slow and the
+        # kernel has its own interpret-mode parity tests.
+        return _pair_bwd_pallas(qkv_pair, rel_pos_h, rel_pos_w, g, hw)
 
     def ref(qkv_pair, th, tw):
         return _pack_pairs(_reference_attention(_unpack_pairs(qkv_pair), th, tw, hw))
@@ -547,3 +552,215 @@ def _pair_bwd_vjp(hw, safe, residuals, g):
 
 
 fused_qkv_attention_pair.defvjp(_pair_fwd_vjp, _pair_bwd_vjp)
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward for the pair-packed kernels (flash-style recompute).
+#
+# Math per head (S = scale*QK^T + F@E, P = softmax(S), O = PV), given dO:
+#   dV = P^T dO
+#   dP = dO V^T
+#   delta = rowsum(dP * P)          == rowsum(dO * O): no O residual needed
+#   dS = P * (dP - delta)
+#   dQ = scale * dS K,   dK = scale * dS^T Q,   dF = dS E^T
+# dF then backprops through rel_factors_pair OUTSIDE the kernel (a small
+# einsum vjp yielding the extra dQ term and the raw-table grads).
+# The recompute uses the EXACT max-subtracted softmax regardless of the
+# forward's ``safe`` flag — identical semantics to the XLA-recompute backward
+# this replaces (PARITY deviation 8 documents the clamped-forward mismatch).
+# ---------------------------------------------------------------------------
+
+
+def _attend_one_bwd(q, k, v, f, e, do, scale):
+    """Recompute-and-differentiate one head. q/do: (bq, d); k/v: (S, d);
+    f: (bq, 2L); e: (2L, S). Returns fp32 (dq, dk, dv, df)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + jax.lax.dot(f, e, preferred_element_type=jnp.float32)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p_un = jnp.exp2(s * LOG2E)
+    p = p_un / jnp.sum(p_un, axis=-1, keepdims=True)  # fp32 (bq, S)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta)  # fp32 (bq, S)
+    ds_lo = ds.astype(q.dtype)
+    p_lo = p.astype(q.dtype)
+    dq = jax.lax.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale
+    df = jax.lax.dot_general(
+        ds_lo, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        ds_lo, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dv = jax.lax.dot_general(
+        p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return dq, dk, dv, df
+
+
+def _window_bwd_kernel_pair(
+    qkv_ref, f_ref, e_ref, do_ref, dq_ref, dk_ref, dv_ref, df_ref,
+    *, scale, pairs, d, lmax
+):
+    """One window per cell (S <= 512): all pairs/halves unrolled, no
+    cross-cell accumulation. E (2L, S) is shared; each half's dF lands in
+    its own 2L lane slice of the (S, 4L) factor grad."""
+    e = e_ref[...]
+    for n in range(pairs):
+        qp = qkv_ref[0, n]
+        kp = qkv_ref[0, pairs + n]
+        vp = qkv_ref[0, 2 * pairs + n]
+        fp = f_ref[0, n]
+        dop = do_ref[0, n]
+        for half in range(2):
+            sl = slice(half * d, (half + 1) * d)
+            fsl = slice(half * 2 * lmax, (half + 1) * 2 * lmax)
+            dq, dk, dv, df = _attend_one_bwd(
+                qp[:, sl], kp[:, sl], vp[:, sl], fp[:, fsl], e, dop[:, sl],
+                scale,
+            )
+            dq_ref[0, n, :, sl] = dq
+            dk_ref[0, n, :, sl] = dk
+            dv_ref[0, n, :, sl] = dv
+            df_ref[0, n, :, fsl] = df
+
+
+def _global_bwd_kernel_pair(
+    q_ref, k_ref, v_ref, f_ref, e_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, df_ref, *, scale, d, lmax
+):
+    """One (batch, head-pair, q-block) cell. dK/dV blocks ignore the q-block
+    grid dim, so they stay resident in VMEM and accumulate across the
+    sequential i sweep (zeroed at i == 0)."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    e = e_ref[...]
+    qp = q_ref[0, 0]
+    kp = k_ref[0, 0]
+    vp = v_ref[0, 0]
+    fp = f_ref[0, 0]
+    dop = do_ref[0, 0]
+    for half in range(2):
+        sl = slice(half * d, (half + 1) * d)
+        fsl = slice(half * 2 * lmax, (half + 1) * 2 * lmax)
+        dq, dk, dv, df = _attend_one_bwd(
+            qp[:, sl], kp[:, sl], vp[:, sl], fp[:, fsl], e, dop[:, sl], scale
+        )
+        dq_ref[0, 0, :, sl] = dq
+        df_ref[0, 0, :, fsl] = df
+        dk_ref[0, 0, :, sl] += dk
+        dv_ref[0, 0, :, sl] += dv
+
+
+def _pair_bwd_kernel_call(qkv_pair, factors, g, hw, block_q=256):
+    """Pallas dispatch: returns fp32 (dq, dk, dv, dfactors), each
+    (B, n/2, S, *) in the pair layout."""
+    h, w = hw
+    b, n3p, s, d2 = qkv_pair.shape
+    np_ = n3p // 3
+    d = d2 // 2
+    lmax = max(h, w)
+    scale = d ** -0.5
+    e = _expansion_matrix(hw, qkv_pair.dtype)
+    interpret = _interpret()
+    grad_shapes = [
+        jax.ShapeDtypeStruct((b, np_, s, d2), jnp.float32),  # dq
+        jax.ShapeDtypeStruct((b, np_, s, d2), jnp.float32),  # dk
+        jax.ShapeDtypeStruct((b, np_, s, d2), jnp.float32),  # dv
+        jax.ShapeDtypeStruct((b, np_, s, 4 * lmax), jnp.float32),  # df
+    ]
+
+    if s <= 512:
+        kernel = functools.partial(
+            _window_bwd_kernel_pair, scale=scale, pairs=np_, d=d, lmax=lmax
+        )
+        full = lambda i: (i, 0, 0, 0)  # noqa: E731
+        return pl.pallas_call(
+            kernel,
+            out_shape=grad_shapes,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, n3p, s, d2), full),
+                pl.BlockSpec((1, np_, s, 4 * lmax), full),
+                pl.BlockSpec((2 * lmax, s), lambda i: (0, 0)),
+                pl.BlockSpec((1, np_, s, d2), full),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, np_, s, d2), full),
+                pl.BlockSpec((1, np_, s, d2), full),
+                pl.BlockSpec((1, np_, s, d2), full),
+                pl.BlockSpec((1, np_, s, 4 * lmax), full),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(qkv_pair, factors, e, g)
+
+    bq = block_q
+    while s % bq:
+        bq //= 2
+    kernel = functools.partial(
+        _global_bwd_kernel_pair, scale=scale, d=d, lmax=lmax
+    )
+    qblk = lambda b_, p, i: (b_, p, i, 0)  # noqa: E731
+    resident = lambda b_, p, i: (b_, p, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        out_shape=grad_shapes,
+        grid=(b, np_, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d2), qblk),
+            pl.BlockSpec((1, 1, s, d2), lambda b_, p, i: (b_, np_ + p, 0, 0)),
+            pl.BlockSpec((1, 1, s, d2), lambda b_, p, i: (b_, 2 * np_ + p, 0, 0)),
+            pl.BlockSpec((1, 1, bq, 4 * lmax), qblk),
+            pl.BlockSpec((2 * lmax, s), lambda b_, p, i: (0, 0)),
+            pl.BlockSpec((1, 1, bq, d2), qblk),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d2), qblk),
+            pl.BlockSpec((1, 1, s, d2), resident),  # dk: accumulates over i
+            pl.BlockSpec((1, 1, s, d2), resident),  # dv: accumulates over i
+            pl.BlockSpec((1, 1, bq, 4 * lmax), qblk),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qkv_pair, qkv_pair, qkv_pair, factors, e, g)
+
+
+def _pair_bwd_pallas(qkv_pair, rel_pos_h, rel_pos_w, g, hw):
+    """Full backward for fused_qkv_attention_pair: Pallas kernel for the
+    attention grads + XLA vjp of rel_factors_pair for the bias-path grads."""
+    h, w = hw
+    b, n3p, s, d2 = qkv_pair.shape
+    np_ = n3p // 3
+    lmax = max(h, w)
+    q_pair = qkv_pair[:, :np_]
+    if rel_pos_h is not None:
+        factors = rel_factors_pair(q_pair, rel_pos_h, rel_pos_w, hw)
+    else:
+        factors = jnp.zeros((b, np_, s, 4 * lmax), qkv_pair.dtype)
+
+    dq, dk, dv, df = _pair_bwd_kernel_call(qkv_pair, factors, g, hw)
+    dth = dtw = None
+    if rel_pos_h is not None:
+        _, fvjp = jax.vjp(
+            lambda qp, a, bb: rel_factors_pair(qp, a, bb, hw),
+            q_pair, rel_pos_h, rel_pos_w,
+        )
+        dq_bias, dth, dtw = fvjp(df.astype(factors.dtype))
+        dq = dq + dq_bias.astype(dq.dtype)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=1).astype(qkv_pair.dtype)
+    return dqkv, dth, dtw

@@ -16,7 +16,10 @@ from rsprompter_tpu.models.sam.vision_encoder import SamVisionEncoder
 from rsprompter_tpu.ops.attention import attention_rel_pos
 from rsprompter_tpu.ops.fused_mlp import _xla_reference, fused_mlp_residual
 from rsprompter_tpu.ops.fused_vit_attention import (
+    _pack_pairs,
+    _pair_bwd_pallas,
     _reference_attention,
+    _unpack_pairs,
     fused_qkv_attention,
     rel_factors,
 )
@@ -61,6 +64,49 @@ def test_fused_attention_no_tables():
         qkv[:, :4], qkv[:, 4:8], qkv[:, 8:], (h, w), None, None, impl="xla"
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("hw,pairs", [((14, 14), 2), ((32, 32), 1)])
+def test_pair_bwd_pallas_matches_reference(hw, pairs):
+    """The Pallas backward (window kernel at S<=512, global accumulating
+    kernel above) must match the XLA-recompute vjp for qkv AND both rel-pos
+    tables. (32, 32) -> S=1024 drives the global kernel's dK/dV accumulation
+    across 4 q-blocks."""
+    h, w = hw
+    s = h * w
+    qkv_pair = _rand(0, (1, 3 * pairs, s, 128))
+    th = _rand(1, (2 * h - 1, 64), 0.2)
+    tw = _rand(2, (2 * w - 1, 64), 0.2)
+    g = _rand(3, (1, pairs, s, 128))
+
+    def ref(qp, a, b):
+        return _pack_pairs(_reference_attention(_unpack_pairs(qp), a, b, hw))
+
+    _, vjp = jax.vjp(ref, qkv_pair, th, tw)
+    want = vjp(g)
+    got = _pair_bwd_pallas(qkv_pair, th, tw, g, hw)
+    for name, a, b in zip(("dqkv", "dth", "dtw"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4, err_msg=name
+        )
+
+
+def test_pair_bwd_pallas_no_tables():
+    hw = (14, 14)
+    s = hw[0] * hw[1]
+    qkv_pair = _rand(0, (2, 3, s, 128))
+    g = _rand(3, (2, 1, s, 128))
+
+    def ref(qp):
+        return _pack_pairs(_reference_attention(_unpack_pairs(qp), None, None, hw))
+
+    _, vjp = jax.vjp(ref, qkv_pair)
+    (want,) = vjp(g)
+    dqkv, dth, dtw = _pair_bwd_pallas(qkv_pair, None, None, g, hw)
+    assert dth is None and dtw is None
+    np.testing.assert_allclose(
+        np.asarray(dqkv), np.asarray(want), atol=2e-4, rtol=1e-4
+    )
 
 
 def test_fused_attention_grad_matches_reference():
