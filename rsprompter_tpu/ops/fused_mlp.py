@@ -292,6 +292,12 @@ def _fwd_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
 
 def _bwd_vjp(eps, residuals, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2 = residuals
+    t = x.shape[0]
+    if jax.devices()[0].platform != "cpu" and t % 128 == 0 and t >= 2048:
+        # TPU: fused Pallas backward (recompute z/h/g in-kernel, weight
+        # grads accumulate in resident fp32 VMEM blocks). CPU keeps the XLA
+        # recompute; the kernel has its own interpret-mode parity test.
+        return _mlp_bwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, g)
 
     def ref(x, ln_scale, ln_bias, w1, b1, w2, b2):
         return _xla_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
@@ -301,6 +307,143 @@ def _bwd_vjp(eps, residuals, g):
 
 
 fused_mlp_residual.defvjp(_fwd_vjp, _bwd_vjp)
+
+
+def _gelu_grad_f32(hf):
+    """d/dh of exact gelu in fp32: Phi(h) + h * phi(h)."""
+    cdf = 0.5 * (1.0 + _erf_f32(hf * 0.7071067811865476))
+    pdf = 0.3989422804014327 * jnp.exp2(-(hf * hf) * (0.5 * _LOG2E))
+    return cdf + hf * pdf
+
+
+def _mlp_bwd_kernel(
+    x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, do_ref,
+    dx_ref, dg_ref, dbb_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *, eps
+):
+    """One token block per cell; weight/LN-param grads accumulate in
+    resident fp32 blocks across the sequential grid sweep (zeroed at i=0).
+
+    Recomputes the forward's z/h/g for the block (flash-style: nothing but
+    x and dO read from HBM), then
+      dW2 += gelu(h)^T dO            db2 += colsum(dO)
+      dh   = (dO W2^T) * gelu'(h)    dW1 += z^T dh,   db1 += colsum(dh)
+      dz   = dh W1^T                 LN vjp -> dx_ln, dscale, dbias
+      dx   = dO + dx_ln  (residual)
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbb_ref[...] = jnp.zeros_like(dbb_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[...]
+    do = do_ref[...]
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    scale = g_ref[...].astype(jnp.float32)
+    bias = b_ref[...].astype(jnp.float32)
+
+    # forward recompute (matching _kernel/_xla_reference cast-for-cast)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    z = (xhat * scale + bias).astype(x.dtype)
+    h = jax.lax.dot(z, w1, preferred_element_type=jnp.float32).astype(x.dtype)
+    h = h + b1_ref[...]
+    hf = h.astype(jnp.float32)
+    gel = _gelu_exact(h)
+
+    # second-matmul + gelu backward
+    dgl = jax.lax.dot_general(
+        do, w2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw2_ref[...] += jax.lax.dot_general(
+        gel, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2_ref[...] += jnp.sum(do.astype(jnp.float32), axis=0, keepdims=True)
+    dh = (dgl * _gelu_grad_f32(hf)).astype(x.dtype)
+
+    # first-matmul backward
+    dw1_ref[...] += jax.lax.dot_general(
+        z, dh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1_ref[...] += jnp.sum(dh.astype(jnp.float32), axis=0, keepdims=True)
+    dz = jax.lax.dot_general(
+        dh, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    # LN backward (stats recomputed above)
+    dg_ref[...] += jnp.sum(dz * xhat, axis=0, keepdims=True)
+    dbb_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
+    dxhat = dz * scale
+    dx_ln = rstd * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    dx_ref[...] = (do.astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
+
+
+def _mlp_bwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, g, block=128):
+    t, c = x.shape
+    m = w1.shape[1]
+    bm = block
+    while t % bm:
+        bm //= 2
+    kernel = functools.partial(_mlp_bwd_kernel, eps=eps)
+    acc = lambda i: (0, 0)  # noqa: E731 — resident accumulator blocks
+    dx, dsc, dbi, dw1, db1, dw2, db2 = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        grid=(t // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), acc),
+            pl.BlockSpec((1, c), acc),
+            pl.BlockSpec((c, m), acc),
+            pl.BlockSpec((1, m), acc),
+            pl.BlockSpec((m, c), acc),
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), acc),
+            pl.BlockSpec((1, c), acc),
+            pl.BlockSpec((c, m), acc),
+            pl.BlockSpec((1, m), acc),
+            pl.BlockSpec((m, c), acc),
+            pl.BlockSpec((1, c), acc),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.devices()[0].platform == "cpu",
+    )(x, ln_scale[None, :], ln_bias[None, :], w1, b1[None, :], w2, g)
+    return (
+        dx,
+        dsc[0].astype(ln_scale.dtype),
+        dbi[0].astype(ln_bias.dtype),
+        dw1.astype(w1.dtype),
+        db1[0].astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2[0].astype(b2.dtype),
+    )
 
 
 def _strip_qkv_kernel(x_ref, w_ref, bias_ref, o_ref, *, pairs3, nwin, window):

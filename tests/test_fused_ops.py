@@ -186,6 +186,34 @@ def test_fused_mlp_matches_xla_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+def test_mlp_bwd_pallas_matches_reference():
+    """The fused MLP Pallas backward (resident fp32 weight-grad accumulators
+    over the token-block sweep) must match the XLA-recompute vjp for every
+    input: x, LN scale/bias, W1/b1, W2/b2."""
+    from rsprompter_tpu.ops.fused_mlp import _mlp_bwd_pallas
+
+    c, m, t = 64, 256, 2048
+    x = _rand(0, (t, c)).astype(jnp.float32)
+    ls = jnp.abs(_rand(1, (c,), 1.0)) + 0.5
+    lb = _rand(2, (c,), 0.1)
+    w1 = _rand(3, (c, m), 0.1)
+    b1 = _rand(4, (m,), 0.1)
+    w2 = _rand(5, (m, c), 0.1)
+    b2 = _rand(6, (c,), 0.1)
+    g = _rand(7, (t, c))
+
+    _, vjp = jax.vjp(
+        lambda *a: _xla_reference(*a, 1e-6), x, ls, lb, w1, b1, w2, b2
+    )
+    want = vjp(g)
+    got = _mlp_bwd_pallas(x, ls, lb, w1, b1, w2, b2, 1e-6, g)
+    names = ("dx", "dscale", "dbias", "dw1", "db1", "dw2", "db2")
+    for name, a, b in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4, err_msg=name
+        )
+
+
 def test_fused_mlp_grad_finite():
     c, m, t = 64, 256, 4096
     x = _rand(0, (t, c))
