@@ -27,6 +27,7 @@ class CocoMetric:
         metric: Sequence[str] = ("bbox", "segm"),
         mask_thr: float = 0.5,
         mask_mode: str = "fullframe",  # 'fullframe' (SAM heads) | 'paste' (FCN)
+        dump_path: Optional[str] = None,
     ):
         self.num_classes = num_classes
         self.metrics = tuple(metric)
@@ -35,6 +36,12 @@ class CocoMetric:
         self.evaluators = {
             m: CocoEvaluator(num_classes, iou_type=m) for m in self.metrics
         }
+        # dump_path: write every processed (det, gt) pair as JSON at
+        # compute() time for offline re-evaluation / error analysis
+        # (tools/analysis_tools/eval_metric.py; reference
+        # tools/test.py --out + tools/analysis_tools/eval_metric.py)
+        self.dump_path = dump_path
+        self._dump_records = [] if dump_path else None
 
     def process(
         self,
@@ -92,13 +99,60 @@ class CocoMetric:
                 gt = dict(gt, masks=encode_masks(np.asarray(gt["masks"])))
             for m in self.metrics:
                 self.evaluators[m].add_image(det, gt)
+            if self._dump_records is not None:
+                self._dump_records.append(
+                    {"det": _jsonable(det), "gt": _jsonable(gt)}
+                )
 
     def compute(self) -> Dict[str, float]:
         out = {}
         for m in self.metrics:
             for k, v in self.evaluators[m].summarize().items():
                 out[f"coco/{k}"] = v
+        if self.dump_path:
+            import json
+
+            with open(self.dump_path, "w") as f:
+                json.dump(
+                    {
+                        "num_classes": self.num_classes,
+                        "metrics": list(self.metrics),
+                        "images": self._dump_records,
+                    },
+                    f,
+                )
         return out
+
+
+def _jsonable(d: Dict) -> Dict:
+    """Evaluator det/gt dict -> JSON-serializable (arrays to lists, RLEs to
+    pycocotools-style dicts). Inverse: :func:`from_jsonable`."""
+    out = {}
+    for k, v in d.items():
+        if k == "masks" and isinstance(v, list):
+            out[k] = [r.to_coco() for r in v]
+        elif isinstance(v, np.ndarray):
+            out[k] = v.tolist()
+        else:
+            out[k] = v
+    return out
+
+
+def from_jsonable(d: Dict) -> Dict:
+    """JSON record (from a CocoMetric dump) -> evaluator det/gt dict."""
+    from rsprompter_tpu.evaluation.rle import RLE
+
+    out = {}
+    for k, v in d.items():
+        if k == "masks":
+            out[k] = [RLE.from_coco(r) for r in v]
+        elif k in ("labels",):
+            out[k] = np.asarray(v, np.int64)
+        elif k in ("iscrowd",):
+            out[k] = np.asarray(v, bool)
+        else:
+            out[k] = np.asarray(v, np.float32)
+    return out
 
 
 def gt_from_raw_sample(raw: Dict) -> Dict:

@@ -74,6 +74,36 @@ def test_perfect_lowres_masks_score_high():
     assert out["coco/segm_mAP"] > 0.5
 
 
+def test_dump_and_offline_eval_roundtrip(tmp_path):
+    """CocoMetric(dump_path=...) + eval_metric.evaluate_dump must reproduce
+    the online metrics exactly (tools/test.py --out workflow)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "analysis_tools",
+        ),
+    )
+    from eval_metric import evaluate_dump
+
+    meta, gts, dets, probs = _make_case(200, 160, 256, 64)
+    dump = tmp_path / "results.json"
+    metric = CocoMetric(num_classes=1, dump_path=str(dump))
+    metric.process([meta], dets, probs, [gts])
+    online = metric.compute()
+    offline = evaluate_dump(str(dump))
+    assert online.keys() == offline.keys()
+    for k in online:
+        np.testing.assert_equal(online[k], offline[k])  # NaN-safe equality
+    assert offline["coco/segm_mAP_50"] == 1.0
+    # metric subsetting
+    bbox_only = evaluate_dump(str(dump), metrics=["bbox"])
+    assert "coco/bbox_mAP" in bbox_only and "coco/segm_mAP" not in bbox_only
+
+
 def test_uint8_quantized_probs_match_fp32():
     """The uint8 transfer path (quantize_probs_u8 on device, probs_to_f32 /
     finalize_masks_np dequantizing host-side) must produce near-identical

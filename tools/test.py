@@ -26,6 +26,11 @@ def parse_args():
     p.add_argument("--show-dir", default=None,
                    help="dump rendered prediction overlays to this directory "
                         "(reference tools/test.py:46-55 --show-dir)")
+    p.add_argument("--out", default=None,
+                   help="dump every (prediction, GT) pair as self-contained "
+                        "JSON for offline re-evaluation via "
+                        "tools/analysis_tools/eval_metric.py (reference "
+                        "tools/test.py --out)")
     args = p.parse_args()
     if args.tta and args.oracle:
         p.error("--tta and --oracle are mutually exclusive: the TTA wrapper "
@@ -178,7 +183,9 @@ def main():
 
     predict = oom_guard(predict)  # AvoidOOM analogue: halve batch on OOM
 
-    metric = CocoMetric(num_classes=cfg.model.get("num_classes", 1))
+    metric = CocoMetric(
+        num_classes=cfg.model.get("num_classes", 1), dump_path=args.out
+    )
     id_to_idx = {d["img_id"]: i for i, d in enumerate(dataset.data_list)}
     classes = (dataset.metainfo or {}).get("classes")
     for batch_np, metas in loader:
