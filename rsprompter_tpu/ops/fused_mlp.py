@@ -292,8 +292,15 @@ def _fwd_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
 
 def _bwd_vjp(eps, residuals, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2 = residuals
+    import os
+
     t = x.shape[0]
-    if jax.devices()[0].platform != "cpu" and t % 128 == 0 and t >= 2048:
+    if (
+        os.environ.get("RSPROMPTER_PALLAS_BWD", "1") != "0"
+        and jax.devices()[0].platform != "cpu"
+        and t % 128 == 0
+        and t >= 2048
+    ):
         # TPU: fused Pallas backward (recompute z/h/g in-kernel, weight
         # grads accumulate in resident fp32 VMEM blocks). CPU keeps the XLA
         # recompute; the kernel has its own interpret-mode parity test.

@@ -536,9 +536,15 @@ def _pair_fwd_vjp(qkv_pair, rel_pos_h, rel_pos_w, hw, safe):
     )
 
 
+def _use_pallas_bwd() -> bool:
+    import os
+
+    return os.environ.get("RSPROMPTER_PALLAS_BWD", "1") != "0" and not _interpret()
+
+
 def _pair_bwd_vjp(hw, safe, residuals, g):
     qkv_pair, rel_pos_h, rel_pos_w = residuals
-    if not _interpret():
+    if _use_pallas_bwd():
         # TPU: flash-style Pallas backward (recompute P in-kernel). CPU
         # keeps the XLA recompute — interpret-mode Pallas is slow and the
         # kernel has its own interpret-mode parity tests.
