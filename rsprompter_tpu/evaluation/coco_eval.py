@@ -186,6 +186,24 @@ class CocoEvaluator:
             ap[ti] = q.mean()
         return ap, rec
 
+    def per_class_ap(self) -> Dict[int, Dict[str, float]]:
+        """Per-category AP over the 'all' area range (the reference's
+        ``classwise=True`` table, ``coco_metric.py:527-559``):
+        {class_idx: {AP, AP50, AP75}} (NaN for classes with no GT)."""
+        out = {}
+        for c in range(self.num_classes):
+            ap, _ = self._ap_recall(c, "all")
+            if ap is None:
+                out[c] = {"AP": float("nan"), "AP50": float("nan"),
+                          "AP75": float("nan")}
+            else:
+                out[c] = {
+                    "AP": round(float(ap.mean()), 4),
+                    "AP50": round(float(ap[0]), 4),
+                    "AP75": round(float(ap[5]), 4),
+                }
+        return out
+
     def summarize(self) -> Dict[str, float]:
         per_cls = {a: [] for a in AREA_RANGES}
         for c in range(self.num_classes):

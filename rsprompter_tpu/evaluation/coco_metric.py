@@ -28,9 +28,15 @@ class CocoMetric:
         mask_thr: float = 0.5,
         mask_mode: str = "fullframe",  # 'fullframe' (SAM heads) | 'paste' (FCN)
         dump_path: Optional[str] = None,
+        classwise: bool = False,
+        class_names: Optional[Sequence[str]] = None,
     ):
         self.num_classes = num_classes
         self.metrics = tuple(metric)
+        # classwise: also emit per-category AP keys (reference CocoMetric
+        # classwise=True, mmdet/evaluation/metrics/coco_metric.py:527-559)
+        self.classwise = classwise
+        self.class_names = list(class_names or [])
         self.mask_thr = mask_thr
         self.mask_mode = mask_mode
         self.evaluators = {
@@ -109,6 +115,13 @@ class CocoMetric:
         for m in self.metrics:
             for k, v in self.evaluators[m].summarize().items():
                 out[f"coco/{k}"] = v
+            if self.classwise:
+                for c, ap in self.evaluators[m].per_class_ap().items():
+                    name = (
+                        self.class_names[c]
+                        if c < len(self.class_names) else f"cls{c}"
+                    )
+                    out[f"coco/{m}_{name}_precision"] = ap["AP"]
         if self.dump_path:
             import json
 

@@ -102,6 +102,13 @@ def test_dump_and_offline_eval_roundtrip(tmp_path):
     # metric subsetting
     bbox_only = evaluate_dump(str(dump), metrics=["bbox"])
     assert "coco/bbox_mAP" in bbox_only and "coco/segm_mAP" not in bbox_only
+    # classwise per-category AP (reference CocoMetric classwise=True)
+    cw = evaluate_dump(str(dump), classwise=True)
+    assert cw["coco/bbox_cls0_precision"] == cw["coco/bbox_mAP"]
+    metric_cw = CocoMetric(num_classes=1, classwise=True, class_names=["ship"])
+    metric_cw.process([meta], dets, probs, [gts])
+    out_cw = metric_cw.compute()
+    assert out_cw["coco/bbox_ship_precision"] == out_cw["coco/bbox_mAP"]
 
 
 def test_uint8_quantized_probs_match_fp32():

@@ -27,10 +27,12 @@ def parse_args():
     p.add_argument("results", help="JSON dump from tools/test.py --out")
     p.add_argument("--metrics", nargs="+", default=None,
                    help="subset of the dump's metrics (default: all)")
+    p.add_argument("--classwise", action="store_true",
+                   help="also report per-category AP")
     return p.parse_args()
 
 
-def evaluate_dump(path: str, metrics=None) -> dict:
+def evaluate_dump(path: str, metrics=None, classwise: bool = False) -> dict:
     from rsprompter_tpu.evaluation.coco_eval import CocoEvaluator
     from rsprompter_tpu.evaluation.coco_metric import from_jsonable
 
@@ -53,12 +55,15 @@ def evaluate_dump(path: str, metrics=None) -> dict:
     for m in metrics:
         for k, v in evaluators[m].summarize().items():
             out[f"coco/{k}"] = v
+        if classwise:
+            for c, ap in evaluators[m].per_class_ap().items():
+                out[f"coco/{m}_cls{c}_precision"] = ap["AP"]
     return out
 
 
 def main():
     args = parse_args()
-    out = evaluate_dump(args.results, args.metrics)
+    out = evaluate_dump(args.results, args.metrics, args.classwise)
     for k, v in out.items():
         print(f"{k}: {v:.4f}")
 

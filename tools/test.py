@@ -26,6 +26,9 @@ def parse_args():
     p.add_argument("--show-dir", default=None,
                    help="dump rendered prediction overlays to this directory "
                         "(reference tools/test.py:46-55 --show-dir)")
+    p.add_argument("--classwise", action="store_true",
+                   help="also report per-category AP (reference "
+                        "CocoMetric(classwise=True))")
     p.add_argument("--out", default=None,
                    help="dump every (prediction, GT) pair as self-contained "
                         "JSON for offline re-evaluation via "
@@ -183,11 +186,12 @@ def main():
 
     predict = oom_guard(predict)  # AvoidOOM analogue: halve batch on OOM
 
-    metric = CocoMetric(
-        num_classes=cfg.model.get("num_classes", 1), dump_path=args.out
-    )
     id_to_idx = {d["img_id"]: i for i, d in enumerate(dataset.data_list)}
     classes = (dataset.metainfo or {}).get("classes")
+    metric = CocoMetric(
+        num_classes=cfg.model.get("num_classes", 1), dump_path=args.out,
+        classwise=args.classwise, class_names=classes,
+    )
     for batch_np, metas in loader:
         batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
         dets, mask_probs = predict(variables, batch)
