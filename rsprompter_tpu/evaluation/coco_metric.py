@@ -107,7 +107,15 @@ class CocoMetric:
                 self.evaluators[m].add_image(det, gt)
             if self._dump_records is not None:
                 self._dump_records.append(
-                    {"det": _jsonable(det), "gt": _jsonable(gt)}
+                    {
+                        "det": _jsonable(det),
+                        "gt": _jsonable(gt),
+                        "meta": {
+                            "img_id": int(meta.get("img_id", i)),
+                            "img_path": meta.get("img_path", ""),
+                            "ori_shape": list(meta.get("ori_shape", ())),
+                        },
+                    }
                 )
 
     def compute(self) -> Dict[str, float]:

@@ -57,6 +57,68 @@ def test_analyze_logs_cli(tmp_path):
     assert out.returncode == 0, out.stderr
 
 
+def test_analyze_results_cli(tmp_path):
+    """Dump -> per-image AP ranking -> rendered good/bad overlays."""
+    import cv2
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_mask_eval_path import _make_case
+
+    from rsprompter_tpu.evaluation.coco_metric import CocoMetric
+
+    meta, gts, dets, probs = _make_case(200, 160, 256, 64)
+    img_path = str(tmp_path / "img.jpg")
+    cv2.imwrite(img_path, np.full((200, 160, 3), 128, np.uint8))
+    meta["img_path"] = img_path
+    dump = tmp_path / "results.json"
+    metric = CocoMetric(num_classes=1, dump_path=str(dump))
+    metric.process([meta], dets, probs, [gts])
+    metric.compute()
+
+    script = os.path.join(REPO, "tools", "analysis_tools", "analyze_results.py")
+    out = subprocess.run(
+        [sys.executable, script, str(dump), "--out-dir", str(tmp_path / "a"),
+         "--topk", "1"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    good = os.listdir(tmp_path / "a" / "good")
+    bad = os.listdir(tmp_path / "a" / "bad")
+    # one perfect-AP image: shows up in both ranks with its AP in the name
+    assert good and bad and "_1.000" in good[0], (good, bad)
+
+
+def test_kmeans_anchors_recovers_clusters():
+    """Two well-separated box shapes -> the two k-means anchors match them
+    and coverage is ~1."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "tools", "analysis_tools"))
+    from optimize_anchors import kmeans_anchors
+
+    rs = np.random.RandomState(0)
+    wh = np.concatenate([
+        np.array([20.0, 40.0]) + rs.randn(50, 2),
+        np.array([100.0, 60.0]) + rs.randn(50, 2),
+    ])
+    anchors, miou = kmeans_anchors(wh, 2, seed=1)
+    assert miou > 0.95
+    assert np.allclose(anchors[0], [20, 40], atol=2)
+    assert np.allclose(anchors[1], [100, 60], atol=2)
+
+
+def test_optimize_anchors_cli():
+    script = os.path.join(REPO, "tools", "analysis_tools", "optimize_anchors.py")
+    out = subprocess.run(
+        [sys.executable, script, SMOKE_CFG, "--k", "3"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "mean best-IoU coverage" in out.stdout
+
+
 def test_browse_dataset_cli(tmp_path):
     script = os.path.join(REPO, "tools", "analysis_tools", "browse_dataset.py")
     out = subprocess.run(
