@@ -271,7 +271,17 @@ def _ln_qkv_fwd_vjp(x, ln_scale, ln_bias, w, b, eps, heads3, batch):
 
 
 def _ln_qkv_bwd_vjp(eps, heads3, batch, residuals, g):
+    import os
+
     x, ln_scale, ln_bias, w, b = residuals
+    t = x.shape[0]
+    if (
+        os.environ.get("RSPROMPTER_PALLAS_BWD", "1") != "0"
+        and jax.devices()[0].platform != "cpu"
+        and (t // batch) % 256 == 0
+    ):
+        return _ln_qkv_bwd_pallas(x, ln_scale, ln_bias, w, b, eps, heads3,
+                                  batch, g)
 
     def ref(x, ln_scale, ln_bias, w, b):
         t = x.shape[0]
@@ -283,6 +293,123 @@ def _ln_qkv_bwd_vjp(eps, heads3, batch, residuals, g):
 
 
 fused_ln_qkv.defvjp(_ln_qkv_fwd_vjp, _ln_qkv_bwd_vjp)
+
+
+def _ln_bwd_block(x, dz, scale, bias, eps):
+    """Shared LN backward for a token block: returns (dx fp32, dscale-sum,
+    dbias-sum) with stats recomputed from x (all fp32)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    dscale = jnp.sum(dz * xhat, axis=0, keepdims=True)
+    dbias = jnp.sum(dz, axis=0, keepdims=True)
+    dxhat = dz * scale
+    dx = rstd * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    return dx, dscale, dbias, xhat
+
+
+def _ln_qkv_bwd_kernel(
+    x_ref, g_ref, b_ref, w_ref, dy_ref,
+    dx_ref, dsc_ref, dbi_ref, dw_ref, db_ref, *, eps, pairs3
+):
+    """One token block per cell; the pair-packed cotangent is lane-concat'd
+    back to flat (bm, K) IN VMEM (the XLA backward materialized this as an
+    HBM transpose of the full qkv tensor). dW/db/LN-param grads accumulate
+    in resident fp32 blocks."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dsc_ref[...] = jnp.zeros_like(dsc_ref)
+        dbi_ref[...] = jnp.zeros_like(dbi_ref)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    x = x_ref[...]
+    scale = g_ref[...].astype(jnp.float32)
+    bias = b_ref[...].astype(jnp.float32)
+    dy = jnp.concatenate(
+        [dy_ref[0, j] for j in range(pairs3)], axis=-1
+    ).astype(x.dtype)
+
+    # recompute z (cast-for-cast with _ln_qkv_kernel) for the weight grad
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    z = ((xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias).astype(x.dtype)
+
+    dw_ref[...] += jax.lax.dot_general(
+        z, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db_ref[...] += jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
+    dz = jax.lax.dot_general(
+        dy, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx, dsc, dbi, _ = _ln_bwd_block(x, dz, scale, bias, eps)
+    dsc_ref[...] += dsc
+    dbi_ref[...] += dbi
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _ln_qkv_bwd_pallas(x, ln_scale, ln_bias, w, b, eps, heads3, batch, g,
+                       block=512):
+    t, c = x.shape
+    s = t // batch
+    k = heads3 * 64
+    pairs3 = heads3 // 2
+    bm = block
+    while s % bm:
+        bm //= 2
+    bpb = s // bm
+    kernel = functools.partial(_ln_qkv_bwd_kernel, eps=eps, pairs3=pairs3)
+    acc = lambda i: (0, 0)  # noqa: E731
+    dx, dsc, dbi, dw, db = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+        ],
+        grid=(t // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), acc),
+            pl.BlockSpec((1, c), acc),
+            pl.BlockSpec((c, k), acc),
+            pl.BlockSpec(
+                (1, pairs3, bm, 128),
+                lambda i, bpb=bpb: (i // bpb, 0, i % bpb, 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), acc),
+            pl.BlockSpec((1, c), acc),
+            pl.BlockSpec((c, k), acc),
+            pl.BlockSpec((1, k), acc),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.devices()[0].platform == "cpu",
+    )(x, ln_scale[None, :], ln_bias[None, :], w, g)
+    return (
+        dx,
+        dsc[0].astype(ln_scale.dtype),
+        dbi[0].astype(ln_bias.dtype),
+        dw.astype(w.dtype),
+        db[0].astype(b.dtype),
+    )
 
 
 def _fwd_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
@@ -536,7 +663,18 @@ def _qkv_window_fwd_vjp(x_grid, w, b, heads3, window):
 
 
 def _qkv_window_bwd_vjp(heads3, window, residuals, g):
+    import os
+
     x_grid, w, b = residuals
+    b_, hp, wp, _ = x_grid.shape
+    if (
+        os.environ.get("RSPROMPTER_PALLAS_BWD", "1") != "0"
+        and jax.devices()[0].platform != "cpu"
+        and heads3 % 2 == 0
+        and hp % window == 0
+        and wp % window == 0
+    ):
+        return _qkv_window_bwd_pallas(x_grid, w, b, heads3, window, g)
 
     def ref(x_grid, w, b):
         return _window_grid_ref(x_grid, w, b, heads3, window)
@@ -546,3 +684,77 @@ def _qkv_window_bwd_vjp(heads3, window, residuals, g):
 
 
 fused_qkv_window_pair.defvjp(_qkv_window_fwd_vjp, _qkv_window_bwd_vjp)
+
+
+def _strip_qkv_bwd_kernel(
+    x_ref, w_ref, dy_ref, dx_ref, dw_ref, db_ref, *, pairs3, nwin, window
+):
+    """Backward of one row-strip of windows: dX strips write straight back
+    to the grid (the XLA backward re-materialized the window-partition
+    transposes); dW/db accumulate in resident fp32 blocks."""
+    i = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    x = x_ref[0]  # (window, WP, C)
+    w = w_ref[...]
+    s = window * window
+    c = x.shape[-1]
+    for wi in range(nwin):
+        dy = jnp.concatenate(
+            [dy_ref[wi, j] for j in range(pairs3)], axis=-1
+        ).astype(x.dtype)  # (s, K)
+        xt = x[:, wi * window : (wi + 1) * window, :].reshape(s, c)
+        dw_ref[...] += jax.lax.dot_general(
+            xt, dy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_ref[...] += jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
+        dxt = jax.lax.dot_general(
+            dy, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dx_ref[0, :, wi * window : (wi + 1) * window, :] = dxt.reshape(
+            window, window, c
+        ).astype(dx_ref.dtype)
+
+
+def _qkv_window_bwd_pallas(x_grid, w, b, heads3, window, g):
+    b_, hp, wp, c = x_grid.shape
+    nh, nw = hp // window, wp // window
+    s = window * window
+    k = heads3 * 64
+    pairs3 = heads3 // 2
+    kernel = functools.partial(
+        _strip_qkv_bwd_kernel, pairs3=pairs3, nwin=nw, window=window
+    )
+    acc = lambda bi, i: (0, 0)  # noqa: E731
+    dx, dw, db = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b_, hp, wp, c), x_grid.dtype),
+            jax.ShapeDtypeStruct((c, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+        ],
+        grid=(b_, nh),
+        in_specs=[
+            pl.BlockSpec((1, window, wp, c), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((c, k), acc),
+            pl.BlockSpec(
+                (nw, pairs3, s, 128), lambda bi, i, nh=nh: (bi * nh + i, 0, 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, window, wp, c), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((c, k), acc),
+            pl.BlockSpec((1, k), acc),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.devices()[0].platform == "cpu",
+    )(x_grid, w, g)
+    return dx, dw.astype(w.dtype), db[0].astype(b.dtype)

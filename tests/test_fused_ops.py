@@ -214,6 +214,58 @@ def test_mlp_bwd_pallas_matches_reference():
         )
 
 
+def test_ln_qkv_bwd_pallas_matches_reference():
+    """fused_ln_qkv Pallas backward: the pair-packed cotangent is re-flattened
+    in VMEM and dW/db/LN grads accumulate across token blocks."""
+    from rsprompter_tpu.ops.fused_mlp import _ln_qkv_bwd_pallas, _ln_qkv_xla
+
+    c, heads3, batch, s = 64, 6, 2, 512
+    t, k = batch * s, heads3 * 64
+    x = _rand(0, (t, c)).astype(jnp.float32)
+    ls = jnp.abs(_rand(1, (c,), 1.0)) + 0.5
+    lb = _rand(2, (c,), 0.1)
+    w = _rand(3, (c, k), 0.1)
+    b = _rand(4, (k,), 0.1)
+    g = _rand(5, (batch, heads3 // 2, s, 128))
+
+    def ref(x, ls, lb, w, b):
+        y = _ln_qkv_xla(x, ls, lb, w, b, 1e-6, heads3)
+        return y.reshape(batch, s, heads3 // 2, 128).transpose(0, 2, 1, 3)
+
+    _, vjp = jax.vjp(ref, x, ls, lb, w, b)
+    want = vjp(g)
+    got = _ln_qkv_bwd_pallas(x, ls, lb, w, b, 1e-6, heads3, batch, g)
+    for name, a, bb in zip(("dx", "dls", "dlb", "dw", "db"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=5e-4, rtol=1e-4, err_msg=name
+        )
+
+
+def test_qkv_window_bwd_pallas_matches_reference():
+    """fused_qkv_window_pair Pallas backward: dX strips write straight back
+    to the grid; dW/db accumulate across the (batch, strip) sweep."""
+    from rsprompter_tpu.ops.fused_mlp import (
+        _qkv_window_bwd_pallas,
+        _window_grid_ref,
+    )
+
+    c, heads3, window = 64, 6, 8
+    b_, hp, wp = 2, 16, 24  # 2x3 windows per image
+    x = _rand(0, (b_, hp, wp, c)).astype(jnp.float32)
+    w = _rand(1, (c, heads3 * 64), 0.1)
+    b = _rand(2, (heads3 * 64,), 0.1)
+    nwin = (hp // window) * (wp // window)
+    g = _rand(3, (b_ * nwin, heads3 // 2, window * window, 128))
+
+    _, vjp = jax.vjp(lambda *a: _window_grid_ref(*a, heads3, window), x, w, b)
+    want = vjp(g)
+    got = _qkv_window_bwd_pallas(x, w, b, heads3, window, g)
+    for name, a, bb in zip(("dx", "dw", "db"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=5e-4, rtol=1e-4, err_msg=name
+        )
+
+
 def test_fused_mlp_grad_finite():
     c, m, t = 64, 256, 4096
     x = _rand(0, (t, c))
