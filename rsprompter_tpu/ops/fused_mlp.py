@@ -276,8 +276,7 @@ def _ln_qkv_bwd_vjp(eps, heads3, batch, residuals, g):
     x, ln_scale, ln_bias, w, b = residuals
     t = x.shape[0]
     if (
-        os.environ.get("RSPROMPTER_PALLAS_BWD", "1") != "0"
-        and jax.devices()[0].platform != "cpu"
+        _pallas_bwd_enabled()
         and (t // batch) % 256 == 0
     ):
         return _ln_qkv_bwd_pallas(x, ln_scale, ln_bias, w, b, eps, heads3,
@@ -412,6 +411,18 @@ def _ln_qkv_bwd_pallas(x, ln_scale, ln_bias, w, b, eps, heads3, batch, g,
     )
 
 
+
+def _pallas_bwd_enabled() -> bool:
+    """RSPROMPTER_PALLAS_BWD: '0' = off, 'force' = on even on CPU interpret
+    (testing the custom_vjp dispatch end to end), default = TPU only."""
+    import os
+
+    v = os.environ.get("RSPROMPTER_PALLAS_BWD", "1")
+    if v == "force":
+        return True
+    return v != "0" and jax.devices()[0].platform != "cpu"
+
+
 def _fwd_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
     out = _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
     return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
@@ -423,8 +434,7 @@ def _bwd_vjp(eps, residuals, g):
 
     t = x.shape[0]
     if (
-        os.environ.get("RSPROMPTER_PALLAS_BWD", "1") != "0"
-        and jax.devices()[0].platform != "cpu"
+        _pallas_bwd_enabled()
         and t % 128 == 0
         and t >= 2048
     ):
@@ -668,8 +678,7 @@ def _qkv_window_bwd_vjp(heads3, window, residuals, g):
     x_grid, w, b = residuals
     b_, hp, wp, _ = x_grid.shape
     if (
-        os.environ.get("RSPROMPTER_PALLAS_BWD", "1") != "0"
-        and jax.devices()[0].platform != "cpu"
+        _pallas_bwd_enabled()
         and heads3 % 2 == 0
         and hp % window == 0
         and wp % window == 0

@@ -278,6 +278,40 @@ def test_fused_mlp_grad_finite():
     assert all(bool(jnp.isfinite(a).all()) for a in g)
 
 
+def test_encoder_grads_pallas_bwd_dispatch(monkeypatch):
+    """RSPROMPTER_PALLAS_BWD=force runs every Pallas backward (attention
+    pair window+global, ln_qkv, window-strip qkv, MLP) through the REAL
+    custom_vjp dispatch on a small 2-layer encoder; grads must match the
+    XLA-recompute backwards (=0). Guards the residual/argument wiring the
+    per-kernel parity tests bypass."""
+    from rsprompter_tpu.models.sam.configs import SamVisionConfig
+
+    cfg = SamVisionConfig(
+        hidden_size=128, num_hidden_layers=2, num_attention_heads=2,
+        global_attn_indexes=(1,), image_size=512, window_size=8,
+    )
+    enc = SamVisionEncoder(config=cfg, attn_impl="fused")
+    x = _rand(0, (2, 512, 512, 3), 1.0)
+    params = enc.init(jax.random.PRNGKey(0), x, output_hidden_states=False)
+
+    def loss(p):
+        return enc.apply(p, x, output_hidden_states=False).sum()
+
+    monkeypatch.setenv("RSPROMPTER_PALLAS_BWD", "0")
+    g_xla = jax.grad(loss)(params)
+    monkeypatch.setenv("RSPROMPTER_PALLAS_BWD", "force")
+    g_pallas = jax.grad(loss)(params)
+    flat_x, _ = jax.tree_util.tree_flatten_with_path(g_xla)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pallas)
+    assert len(flat_x) == len(flat_p)
+    for (path, a), (_, b) in zip(flat_x, flat_p):
+        scale = max(1.0, float(np.abs(np.asarray(a)).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4 * scale,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_fused_encoder_matches_xla_encoder():
     """Same params, same outputs (fp32 tolerance), identical param trees."""
     cfg = sam_config("base", image_size=256).vision_config
