@@ -46,14 +46,15 @@ def _match_image(
     gt_crowd: np.ndarray,  # (G,)
     det_areas: np.ndarray,  # (D,)
     area_rng,
+    iou_thrs: np.ndarray = IOU_THRS,
 ):
     """Returns (dt_matched (T, D) bool, dt_ignore (T, D) bool) per IoU thr."""
     d, g = ious.shape
-    t = len(IOU_THRS)
+    t = len(iou_thrs)
     dtm = np.zeros((t, d), dtype=np.int64) - 1
     gtm = np.zeros((t, g), dtype=np.int64) - 1
     dt_ig = np.zeros((t, d), bool)
-    for ti, thr in enumerate(IOU_THRS):
+    for ti, thr in enumerate(iou_thrs):
         for di in range(d):
             best_iou = min(thr, 1 - 1e-10)
             m = -1
@@ -87,11 +88,15 @@ class CocoEvaluator:
              'masks': list[RLE]}
     """
 
-    def __init__(self, num_classes: int, iou_type: str = "bbox", max_dets: int = 100):
+    def __init__(self, num_classes: int, iou_type: str = "bbox",
+                 max_dets: int = 100, iou_thrs=None):
         assert iou_type in ("bbox", "segm")
         self.num_classes = num_classes
         self.iou_type = iou_type
         self.max_dets = max_dets
+        # custom iou_thrs (e.g. [0.1] for localization-error analysis);
+        # summarize()'s mAP_50/_75 keys assume the default ladder
+        self.iou_thrs = np.asarray(iou_thrs if iou_thrs is not None else IOU_THRS)
         # per (class, area) lists over images
         self._results: Dict = {
             (c, a): {"scores": [], "matched": [], "ignored": [], "npig": 0}
@@ -140,7 +145,8 @@ class CocoEvaluator:
                     ious = iou_matrix(d_rles, g_rles, g_crowd[gsel_o])
                     det_a = np.asarray([r.area() for r in d_rles], np.float64)
                 matched, ignored = _match_image(
-                    ious, g_ignore_o, g_crowd[gsel_o], det_a, arng
+                    ious, g_ignore_o, g_crowd[gsel_o], det_a, arng,
+                    self.iou_thrs,
                 )
                 slot = self._results[(c, aname)]
                 slot["scores"].append(d_scores[dsel])
@@ -154,7 +160,7 @@ class CocoEvaluator:
         if npig == 0:
             return None, None
         scores = np.concatenate(slot["scores"]) if slot["scores"] else np.zeros(0)
-        t = len(IOU_THRS)
+        t = len(self.iou_thrs)
         matched = (
             np.concatenate(slot["matched"], axis=1)
             if slot["matched"]

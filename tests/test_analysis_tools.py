@@ -119,6 +119,43 @@ def test_optimize_anchors_cli():
     assert "mean best-IoU coverage" in out.stdout
 
 
+def test_coco_error_analysis_waterfall(tmp_path):
+    """A loc-imprecise TP + a higher-scored class-confusion FP: the waterfall
+    must attribute the losses to the right stages (C75=0 < C50=Loc~0.5 <
+    Oth=BG=FN=1)."""
+    sys.path.insert(0, os.path.join(REPO, "tools", "analysis_tools"))
+    from coco_error_analysis import analyze_dump
+
+    dump = {
+        "num_classes": 2,
+        "metrics": ["bbox"],
+        "images": [{
+            "det": {
+                # [0]: confusion FP (exactly on the class-1 GT, labeled 0)
+                # [1]: class-0 TP at IoU ~0.68 (matches @.5, misses @.75)
+                "bboxes": [[100, 100, 140, 140], [4, 4, 44, 44]],
+                "scores": [0.9, 0.8],
+                "labels": [0, 0],
+            },
+            "gt": {
+                "bboxes": [[0, 0, 40, 40], [100, 100, 140, 140]],
+                "labels": [0, 1],
+                "iscrowd": [False, False],
+                "areas": [1600.0, 1600.0],
+            },
+        }],
+    }
+    path = tmp_path / "d.json"
+    path.write_text(json.dumps(dump))
+    out = analyze_dump(str(path), "bbox")
+    row = out[0]
+    assert row["C75"] == 0.0
+    assert 0.4 < row["C50"] <= 0.6
+    assert row["Loc"] == row["C50"]  # the FP is a confusion, not a loc error
+    assert row["Oth"] == 1.0  # forgiving class confusion recovers full AP
+    assert row["BG"] == 1.0 and row["FN"] == 1.0
+
+
 def test_browse_dataset_cli(tmp_path):
     script = os.path.join(REPO, "tools", "analysis_tools", "browse_dataset.py")
     out = subprocess.run(
