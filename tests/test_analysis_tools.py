@@ -156,6 +156,48 @@ def test_coco_error_analysis_waterfall(tmp_path):
     assert row["BG"] == 1.0 and row["FN"] == 1.0
 
 
+def test_weighted_boxes_fusion_recovers_gt(tmp_path):
+    """Two models with opposite localization bias: WBF's score-weighted
+    average must land nearer the GT than either input, and the fused dump
+    must evaluate above both."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "tools", "analysis_tools"))
+    from eval_metric import evaluate_dump
+    from fuse_results import fuse_dumps, weighted_boxes_fusion
+
+    gt_box = [40.0, 40.0, 80.0, 80.0]
+    shift = 4.0  # IoU of the two inputs = 0.67 > the 0.55 cluster thr
+    b, s, l = weighted_boxes_fusion(
+        [[[40 - shift, 40, 80 - shift, 80]], [[40 + shift, 40, 80 + shift, 80]]],
+        [[0.8], [0.8]], [[0], [0]],
+    )
+    assert len(b) == 1 and np.allclose(b[0], gt_box, atol=1e-6)
+    assert s[0] == 0.8  # both models voted -> no score penalty
+
+    def dump_for(offset):
+        return {
+            "num_classes": 1, "metrics": ["bbox"],
+            "images": [{
+                "det": {"bboxes": [[40 + offset, 40, 80 + offset, 80]],
+                        "scores": [0.8], "labels": [0]},
+                "gt": {"bboxes": [gt_box], "labels": [0],
+                       "iscrowd": [False], "areas": [1600.0]},
+            }],
+        }
+
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(json.dumps(dump_for(-shift)))
+    pb.write_text(json.dumps(dump_for(+shift)))
+    fused = fuse_dumps([str(pa), str(pb)])
+    pf = tmp_path / "f.json"
+    pf.write_text(json.dumps(fused))
+    ap_a = evaluate_dump(str(pa))["coco/bbox_mAP"]
+    ap_f = evaluate_dump(str(pf))["coco/bbox_mAP"]
+    assert ap_f > ap_a
+    assert ap_f == 1.0  # perfectly recovered box
+
+
 def test_browse_dataset_cli(tmp_path):
     script = os.path.join(REPO, "tools", "analysis_tools", "browse_dataset.py")
     out = subprocess.run(
