@@ -26,6 +26,10 @@ def parse_args():
     p.add_argument("--show-dir", default=None,
                    help="dump rendered prediction overlays to this directory "
                         "(reference tools/test.py:46-55 --show-dir)")
+    p.add_argument("--corruption", default=None,
+                   help="apply this image corruption before the pipeline "
+                        "(robustness benchmark; see data/corruptions.py)")
+    p.add_argument("--severity", type=int, default=1, choices=range(1, 6))
     p.add_argument("--classwise", action="store_true",
                    help="also report per-category AP (reference "
                         "CocoMetric(classwise=True))")
@@ -108,7 +112,12 @@ def main():
     n_data = mesh.shape["data"] if mesh is not None else 1
 
     ds_cfg = dict((cfg.get("test_dataloader") or cfg.val_dataloader)["dataset"])
-    ds_cfg["pipeline"] = build_test_pipeline(crop)
+    pipeline = build_test_pipeline(crop)
+    if args.corruption:
+        from rsprompter_tpu.data.corruptions import CorruptImage
+
+        pipeline = [CorruptImage(args.corruption, args.severity)] + pipeline
+    ds_cfg["pipeline"] = pipeline
     dataset = DATASETS.build(ds_cfg)
     loader = DataLoader(
         dataset,
