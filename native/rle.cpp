@@ -120,4 +120,35 @@ void rle_encode_batch(const uint8_t* masks, int n, int h, int w,
     }
 }
 
+// Greedy score-ordered COCO matching for one image & class (the inner loop
+// pycocotools runs in C; reference COCOeval.evaluateImg). ious is D x G
+// row-major with dets already score-descending and gts non-ignored-first.
+// Outputs: dtm (T x D) matched gt index or -1; dtig (T x D) det-ignore flag.
+void match_image(const double* ious, int d, int g,
+                 const uint8_t* gt_ignore, const uint8_t* gt_crowd,
+                 const double* iou_thrs, int t,
+                 int64_t* dtm_out, uint8_t* dtig_out) {
+    std::vector<int64_t> gtm((size_t)g);
+    for (int ti = 0; ti < t; ++ti) {
+        std::fill(gtm.begin(), gtm.end(), (int64_t)-1);
+        for (int di = 0; di < d; ++di) {
+            double best = std::min(iou_thrs[ti], 1.0 - 1e-10);
+            int m = -1;
+            for (int gi = 0; gi < g; ++gi) {
+                if (gtm[gi] >= 0 && !gt_crowd[gi]) continue;
+                // gts sorted: once matched to a non-ignored gt, an ignored
+                // one cannot improve the match
+                if (m > -1 && !gt_ignore[m] && gt_ignore[gi]) break;
+                double iou = ious[(size_t)di * g + gi];
+                if (iou < best) continue;
+                best = iou;
+                m = gi;
+            }
+            dtm_out[(size_t)ti * d + di] = m;
+            dtig_out[(size_t)ti * d + di] = (m >= 0) ? gt_ignore[m] : 0;
+            if (m >= 0) gtm[m] = di;
+        }
+    }
+}
+
 }  // extern "C"

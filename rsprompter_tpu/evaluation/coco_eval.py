@@ -48,34 +48,67 @@ def _match_image(
     area_rng,
     iou_thrs: np.ndarray = IOU_THRS,
 ):
-    """Returns (dt_matched (T, D) bool, dt_ignore (T, D) bool) per IoU thr."""
+    """Returns (dt_matched (T, D) bool, dt_ignore (T, D) bool) per IoU thr.
+
+    The greedy triple loop runs in the native library when available (the
+    part pycocotools implements in C); the Python loop below is the
+    reference/fallback and is kept semantically identical."""
     d, g = ious.shape
     t = len(iou_thrs)
-    dtm = np.zeros((t, d), dtype=np.int64) - 1
-    gtm = np.zeros((t, g), dtype=np.int64) - 1
-    dt_ig = np.zeros((t, d), bool)
-    for ti, thr in enumerate(iou_thrs):
-        for di in range(d):
-            best_iou = min(thr, 1 - 1e-10)
-            m = -1
-            for gi in range(g):
-                if gtm[ti, gi] >= 0 and not gt_crowd[gi]:
+    lib = _match_lib()
+    if lib is not None and d and g:
+        import ctypes
+
+        ious_c = np.ascontiguousarray(ious, np.float64)
+        gi_c = np.ascontiguousarray(gt_ignore, np.uint8)
+        gc_c = np.ascontiguousarray(gt_crowd, np.uint8)
+        thrs_c = np.ascontiguousarray(iou_thrs, np.float64)
+        dtm = np.empty((t, d), np.int64)
+        dt_ig_u8 = np.empty((t, d), np.uint8)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.match_image(
+            ious_c.ctypes.data_as(f64p), d, g,
+            gi_c.ctypes.data_as(u8p), gc_c.ctypes.data_as(u8p),
+            thrs_c.ctypes.data_as(f64p), t,
+            dtm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dt_ig_u8.ctypes.data_as(u8p),
+        )
+        dt_ig = dt_ig_u8.astype(bool)
+    else:
+        dtm = np.zeros((t, d), dtype=np.int64) - 1
+        gtm = np.zeros((t, g), dtype=np.int64) - 1
+        dt_ig = np.zeros((t, d), bool)
+        for ti, thr in enumerate(iou_thrs):
+            for di in range(d):
+                best_iou = min(thr, 1 - 1e-10)
+                m = -1
+                for gi in range(g):
+                    if gtm[ti, gi] >= 0 and not gt_crowd[gi]:
+                        continue
+                    if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
+                        break  # gts sorted: past non-ignored, stop improving
+                    if ious[di, gi] < best_iou:
+                        continue
+                    best_iou = ious[di, gi]
+                    m = gi
+                if m == -1:
                     continue
-                if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
-                    break  # gts sorted: once past non-ignored, stop improving
-                if ious[di, gi] < best_iou:
-                    continue
-                best_iou = ious[di, gi]
-                m = gi
-            if m == -1:
-                continue
-            dtm[ti, di] = m
-            gtm[ti, m] = di
-            dt_ig[ti, di] = gt_ignore[m]
+                dtm[ti, di] = m
+                gtm[ti, m] = di
+                dt_ig[ti, di] = gt_ignore[m]
     # unmatched dets outside the area range are ignored
     out_of_rng = (det_areas < area_rng[0]) | (det_areas > area_rng[1])
     dt_ig |= (dtm == -1) & out_of_rng[None, :]
     return dtm >= 0, dt_ig
+
+
+def _match_lib():
+    """Native matcher handle, or None (falls back to the Python loop)."""
+    from rsprompter_tpu.evaluation.rle import _load_lib
+
+    lib = _load_lib()
+    return lib if lib is not None and hasattr(lib, "match_image") else None
 
 
 class CocoEvaluator:

@@ -31,13 +31,19 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "rle.cpp")
+    stale = os.path.exists(_LIB_PATH) and os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if not os.path.exists(_LIB_PATH) or stale:
         try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"], check=True, capture_output=True
+                ["make", "-C", _NATIVE_DIR, "-s"] + (["-B"] if stale else []),
+                check=True, capture_output=True,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -55,6 +61,11 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.rle_decode.argtypes = [u32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p]
     lib.rle_area.restype = ctypes.c_uint64
     lib.rle_area.argtypes = [u32p, ctypes.c_int]
+    if hasattr(lib, "match_image"):  # absent only in a stale prebuilt .so
+        lib.match_image.argtypes = [
+            f64p, ctypes.c_int, ctypes.c_int, u8p, u8p, f64p, ctypes.c_int,
+            i64p, u8p,
+        ]
     _lib = lib
     return lib
 

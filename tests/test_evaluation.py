@@ -141,3 +141,32 @@ def test_coco_eval_segm():
     )
     m = ev.summarize()
     assert m["segm_mAP"] == pytest.approx(1.0, abs=0.01)
+
+
+def test_native_matcher_parity_randomized():
+    """The C++ match_image must reproduce the Python greedy loop exactly
+    across random IoU matrices with crowd/ignore flags."""
+    from rsprompter_tpu.evaluation import coco_eval
+    from rsprompter_tpu.evaluation.coco_eval import IOU_THRS, _match_image, _match_lib
+
+    lib = _match_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    rs = np.random.RandomState(0)
+    for case in range(20):
+        d, g = rs.randint(1, 12), rs.randint(1, 8)
+        ious = rs.rand(d, g)
+        # gts sorted non-ignored-first, as add_image guarantees
+        gt_ignore = np.sort(rs.rand(g) < 0.3)
+        gt_crowd = gt_ignore & (rs.rand(g) < 0.5)
+        det_areas = rs.rand(d) * 5000
+        rng = (100.0, 4000.0)
+        native = _match_image(ious, gt_ignore, gt_crowd, det_areas, rng, IOU_THRS)
+        orig = coco_eval._match_lib
+        coco_eval._match_lib = lambda: None  # force the Python loop
+        try:
+            py = _match_image(ious, gt_ignore, gt_crowd, det_areas, rng, IOU_THRS)
+        finally:
+            coco_eval._match_lib = orig
+        np.testing.assert_array_equal(native[0], py[0], err_msg=f"case {case}")
+        np.testing.assert_array_equal(native[1], py[1], err_msg=f"case {case}")
