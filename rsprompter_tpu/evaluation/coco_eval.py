@@ -225,10 +225,18 @@ class CocoEvaluator:
             ap[ti] = q.mean()
         return ap, rec
 
+    def _thr_idx(self, thr: float):
+        """Index of ``thr`` in this evaluator's IoU ladder, or None (custom
+        ladders may not contain .5/.75)."""
+        idx = np.flatnonzero(np.isclose(self.iou_thrs, thr))
+        return int(idx[0]) if len(idx) else None
+
     def per_class_ap(self) -> Dict[int, Dict[str, float]]:
         """Per-category AP over the 'all' area range (the reference's
         ``classwise=True`` table, ``coco_metric.py:527-559``):
-        {class_idx: {AP, AP50, AP75}} (NaN for classes with no GT)."""
+        {class_idx: {AP, AP50, AP75}} (NaN for classes with no GT, and for
+        AP50/AP75 when a custom iou_thrs ladder lacks those thresholds)."""
+        i50, i75 = self._thr_idx(0.5), self._thr_idx(0.75)
         out = {}
         for c in range(self.num_classes):
             ap, _ = self._ap_recall(c, "all")
@@ -238,8 +246,10 @@ class CocoEvaluator:
             else:
                 out[c] = {
                     "AP": round(float(ap.mean()), 4),
-                    "AP50": round(float(ap[0]), 4),
-                    "AP75": round(float(ap[5]), 4),
+                    "AP50": round(float(ap[i50]), 4) if i50 is not None
+                    else float("nan"),
+                    "AP75": round(float(ap[i75]), 4) if i75 is not None
+                    else float("nan"),
                 }
         return out
 
@@ -258,10 +268,13 @@ class CocoEvaluator:
             return float(arr.mean() if thr_idx is None else arr[:, thr_idx].mean())
 
         p = self.iou_type
+        i50, i75 = self._thr_idx(0.5), self._thr_idx(0.75)
         return {
             f"{p}_mAP": round(mean_ap("all"), 4),
-            f"{p}_mAP_50": round(mean_ap("all", 0), 4),
-            f"{p}_mAP_75": round(mean_ap("all", 5), 4),
+            f"{p}_mAP_50": round(mean_ap("all", i50), 4)
+            if i50 is not None else float("nan"),
+            f"{p}_mAP_75": round(mean_ap("all", i75), 4)
+            if i75 is not None else float("nan"),
             f"{p}_mAP_s": round(mean_ap("small"), 4),
             f"{p}_mAP_m": round(mean_ap("medium"), 4),
             f"{p}_mAP_l": round(mean_ap("large"), 4),

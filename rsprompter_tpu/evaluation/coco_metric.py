@@ -150,7 +150,12 @@ def _jsonable(d: Dict) -> Dict:
     pycocotools-style dicts). Inverse: :func:`from_jsonable`."""
     out = {}
     for k, v in d.items():
-        if k == "masks" and isinstance(v, list):
+        if k == "masks":
+            # bbox-only runs carry GT masks as raw binary arrays (never
+            # RLE-encoded by process); encode here so the dump stays
+            # loadable (and ~500x smaller than nested lists of pixels)
+            if not isinstance(v, list):
+                v = encode_masks(np.asarray(v).astype(np.uint8))
             out[k] = [r.to_coco() for r in v]
         elif isinstance(v, np.ndarray):
             out[k] = v.tolist()

@@ -271,8 +271,6 @@ def _ln_qkv_fwd_vjp(x, ln_scale, ln_bias, w, b, eps, heads3, batch):
 
 
 def _ln_qkv_bwd_vjp(eps, heads3, batch, residuals, g):
-    import os
-
     x, ln_scale, ln_bias, w, b = residuals
     t = x.shape[0]
     if (
@@ -294,14 +292,17 @@ def _ln_qkv_bwd_vjp(eps, heads3, batch, residuals, g):
 fused_ln_qkv.defvjp(_ln_qkv_fwd_vjp, _ln_qkv_bwd_vjp)
 
 
-def _ln_bwd_block(x, dz, scale, bias, eps):
-    """Shared LN backward for a token block: returns (dx fp32, dscale-sum,
-    dbias-sum) with stats recomputed from x (all fp32)."""
-    xf = x.astype(jnp.float32)
+def _ln_stats(xf, eps):
+    """LN forward stats in fp32: (xhat, rstd)."""
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
-    xhat = (xf - mu) * rstd
+    return (xf - mu) * rstd, rstd
+
+
+def _ln_bwd_block(dz, scale, xhat, rstd):
+    """Shared LN backward for a token block given precomputed stats:
+    returns (dx fp32, dscale-sum, dbias-sum)."""
     dscale = jnp.sum(dz * xhat, axis=0, keepdims=True)
     dbias = jnp.sum(dz, axis=0, keepdims=True)
     dxhat = dz * scale
@@ -310,7 +311,7 @@ def _ln_bwd_block(x, dz, scale, bias, eps):
         - jnp.mean(dxhat, axis=-1, keepdims=True)
         - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     )
-    return dx, dscale, dbias, xhat
+    return dx, dscale, dbias
 
 
 def _ln_qkv_bwd_kernel(
@@ -338,10 +339,8 @@ def _ln_qkv_bwd_kernel(
     ).astype(x.dtype)
 
     # recompute z (cast-for-cast with _ln_qkv_kernel) for the weight grad
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    z = ((xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias).astype(x.dtype)
+    xhat, rstd = _ln_stats(x.astype(jnp.float32), eps)
+    z = (xhat * scale + bias).astype(x.dtype)
 
     dw_ref[...] += jax.lax.dot_general(
         z, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -351,7 +350,7 @@ def _ln_qkv_bwd_kernel(
         dy, w_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dx, dsc, dbi, _ = _ln_bwd_block(x, dz, scale, bias, eps)
+    dx, dsc, dbi = _ln_bwd_block(dz, scale, xhat, rstd)
     dsc_ref[...] += dsc
     dbi_ref[...] += dbi
     dx_ref[...] = dx.astype(dx_ref.dtype)
@@ -430,8 +429,6 @@ def _fwd_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
 
 def _bwd_vjp(eps, residuals, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2 = residuals
-    import os
-
     t = x.shape[0]
     if (
         _pallas_bwd_enabled()
@@ -493,11 +490,7 @@ def _mlp_bwd_kernel(
     bias = b_ref[...].astype(jnp.float32)
 
     # forward recompute (matching _kernel/_xla_reference cast-for-cast)
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (xf - mu) * rstd
+    xhat, rstd = _ln_stats(x.astype(jnp.float32), eps)
     z = (xhat * scale + bias).astype(x.dtype)
     h = jax.lax.dot(z, w1, preferred_element_type=jnp.float32).astype(x.dtype)
     h = h + b1_ref[...]
@@ -523,15 +516,10 @@ def _mlp_bwd_kernel(
         dh, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
 
-    # LN backward (stats recomputed above)
-    dg_ref[...] += jnp.sum(dz * xhat, axis=0, keepdims=True)
-    dbb_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
-    dxhat = dz * scale
-    dx_ln = rstd * (
-        dxhat
-        - jnp.mean(dxhat, axis=-1, keepdims=True)
-        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    )
+    # LN backward (stats from the recompute above)
+    dx_ln, dsc, dbi = _ln_bwd_block(dz, scale, xhat, rstd)
+    dg_ref[...] += dsc
+    dbb_ref[...] += dbi
     dx_ref[...] = (do.astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
 
 
@@ -673,8 +661,6 @@ def _qkv_window_fwd_vjp(x_grid, w, b, heads3, window):
 
 
 def _qkv_window_bwd_vjp(heads3, window, residuals, g):
-    import os
-
     x_grid, w, b = residuals
     b_, hp, wp, _ = x_grid.shape
     if (

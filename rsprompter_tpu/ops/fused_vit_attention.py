@@ -537,12 +537,10 @@ def _pair_fwd_vjp(qkv_pair, rel_pos_h, rel_pos_w, hw, safe):
 
 
 def _use_pallas_bwd() -> bool:
-    import os
+    # single source of truth for the RSPROMPTER_PALLAS_BWD kill switch
+    from rsprompter_tpu.ops.fused_mlp import _pallas_bwd_enabled
 
-    v = os.environ.get("RSPROMPTER_PALLAS_BWD", "1")
-    if v == "force":  # testing: run the Pallas backward even on CPU interpret
-        return True
-    return v != "0" and not _interpret()
+    return _pallas_bwd_enabled()
 
 
 def _pair_bwd_vjp(hw, safe, residuals, g):

@@ -170,3 +170,24 @@ def test_native_matcher_parity_randomized():
             coco_eval._match_lib = orig
         np.testing.assert_array_equal(native[0], py[0], err_msg=f"case {case}")
         np.testing.assert_array_equal(native[1], py[1], err_msg=f"case {case}")
+
+
+def test_custom_iou_ladder_summarize_and_per_class():
+    """A custom iou_thrs ladder (e.g. [0.1] in the error-analysis tool) must
+    not crash summarize/per_class_ap; mAP_50/_75 become NaN when absent."""
+    boxes = np.array([[0, 0, 10, 10]], np.float64)
+    for thrs, has50 in (([0.1], False), ([0.5, 0.75], True)):
+        ev = CocoEvaluator(num_classes=1, iou_thrs=thrs)
+        ev.add_image(
+            dict(bboxes=boxes, scores=np.array([0.9]),
+                 labels=np.zeros(1, np.int64)),
+            dict(bboxes=boxes, labels=np.zeros(1, np.int64),
+                 iscrowd=np.zeros(1, bool), areas=np.array([100.0])),
+        )
+        m = ev.summarize()
+        pc = ev.per_class_ap()
+        assert m["bbox_mAP"] == 1.0
+        if has50:
+            assert m["bbox_mAP_50"] == 1.0 and pc[0]["AP50"] == 1.0
+        else:
+            assert np.isnan(m["bbox_mAP_50"]) and np.isnan(pc[0]["AP50"])

@@ -174,3 +174,28 @@ def test_packed_bits_transfer_roundtrip():
     metric.process([meta], dets, unpacked, [gts])
     assert metric.compute()["coco/segm_mAP_50"] == 1.0
     assert masks.dtype == bool
+
+
+def test_bbox_only_dump_loads(tmp_path):
+    """A bbox-only metric run never RLE-encodes the GT masks; the dump must
+    still serialize them as RLE (not nested pixel lists) and reload."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "analysis_tools",
+        ),
+    )
+    from eval_metric import evaluate_dump
+
+    meta, gts, dets, probs = _make_case(200, 160, 256, 64)
+    dump = tmp_path / "bboxonly.json"
+    metric = CocoMetric(num_classes=1, metric=("bbox",), dump_path=str(dump))
+    metric.process([meta], dets, probs, [gts])
+    online = metric.compute()
+    assert dump.stat().st_size < 200_000  # RLE, not pixel lists
+    offline = evaluate_dump(str(dump))
+    assert offline["coco/bbox_mAP_50"] == online["coco/bbox_mAP_50"] == 1.0
