@@ -37,7 +37,13 @@ class DetInferencer:
         batch_size: int = 1,
         size_buckets: Optional[Sequence[int]] = None,
         mask_transfer: str = "u8",
+        exported: Optional[str] = None,
     ):
+        """``exported``: path to a ``tools/deployment/export_model.py``
+        artifact — predict runs the deserialized StableHLO program instead
+        of tracing/compiling the flax model (weights-embedded artifacts take
+        one arg; program-only artifacts get the locally-loaded variables).
+        """
         assert mask_transfer in ("u8", "f32", "bits"), mask_transfer
         if isinstance(model, str):
             cfg = Config.fromfile(model)
@@ -55,6 +61,7 @@ class DetInferencer:
         self._variables = None
         self._predict = None
         self.mask_transfer = mask_transfer
+        self.exported = exported
         self.weights = weights
         self.sam_ckpt = cfg.model.get("hf_sam_pretrain_ckpt_path") or cfg.model.get(
             "sam_checkpoint"
@@ -72,6 +79,19 @@ class DetInferencer:
     def _ensure_initialized(self, batch):
         if self._variables is not None:
             return
+        if self.exported:
+            from jax import export as jax_export
+
+            with open(self.exported, "rb") as f:
+                exp = jax_export.deserialize(bytearray(f.read()))
+            # positional-arg count: (variables, batch) program-only vs
+            # (batch,) weights-embedded
+            takes_vars = len(exp.in_tree.children()[0].children()) == 2
+            if not takes_vars:
+                self._set_exported_predict(exp, takes_vars=False)
+                self._variables = {}  # weights live inside the artifact
+                return
+            self._exported_handle = exp
         variables = jax.jit(
             lambda: self.model.init(
                 {"params": jax.random.PRNGKey(0)}, batch, method="predict"
@@ -92,6 +112,10 @@ class DetInferencer:
         self._variables = {**variables, "params": params}
         if bstats is not None:
             self._variables["batch_stats"] = bstats
+        if self.exported:
+            self._set_exported_predict(self._exported_handle, takes_vars=True)
+            return
+
         from rsprompter_tpu.ops.masks import pack_mask_bits, quantize_probs_u8
 
         def _pred(v, b):
@@ -107,6 +131,21 @@ class DetInferencer:
             return dets, probs
 
         self._predict = jax.jit(_pred)
+
+    def _set_exported_predict(self, exp, takes_vars: bool) -> None:
+        import types
+
+        def _pred_exported(v, b):
+            out = exp.call(v, b) if takes_vars else exp.call(b)
+            dets = types.SimpleNamespace(
+                boxes=out["boxes"], scores=out["scores"],
+                labels=out["labels"], valid=out["valid"],
+            )
+            # artifacts always ship uint8 mask probs (export_model.py)
+            return dets, out["mask_probs_u8"]
+
+        self._predict = _pred_exported
+        self.mask_transfer = "u8"
 
     def verify_weights(self) -> None:
         """Load the configured checkpoint files host-side, raising on any

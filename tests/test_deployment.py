@@ -11,6 +11,37 @@ SMOKE_CFG = os.path.join(REPO, "configs/rsprompter/smoke-nwpu-256.py")
 
 
 @pytest.mark.slow
+def test_inferencer_runs_exported_artifact(tmp_path):
+    """DetInferencer(exported=...) must reproduce the normal inferencer's
+    predictions on a real image (the serve-from-artifact path)."""
+    sys.path.insert(0, os.path.join(REPO, "tools", "deployment"))
+    from export_model import build_exported
+
+    from rsprompter_tpu.apis.inferencer import DetInferencer
+    from rsprompter_tpu.core.config import Config
+
+    img = "/root/reference/data/NWPU/imgs/003.jpg"
+    if not os.path.exists(img):
+        pytest.skip("NWPU data unavailable")
+    cfg = Config.fromfile(SMOKE_CFG)
+    exp, _, _ = build_exported(cfg, batch_size=1, embed_weights=False)
+    path = tmp_path / "m.jaxexp"
+    path.write_bytes(exp.serialize())
+
+    normal = DetInferencer(Config.fromfile(SMOKE_CFG), batch_size=1)
+    viaexp = DetInferencer(
+        Config.fromfile(SMOKE_CFG), batch_size=1, exported=str(path)
+    )
+    a = normal([img], return_masks=True, score_thr=0.3)["predictions"][0]
+    b = viaexp([img], return_masks=True, score_thr=0.3)["predictions"][0]
+    assert len(a["scores"]) == len(b["scores"])
+    np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-4)
+    np.testing.assert_allclose(a["bboxes"], b["bboxes"], atol=1e-2)
+    if a["scores"]:
+        assert (a["masks"] == b["masks"]).mean() > 0.999
+
+
+@pytest.mark.slow
 def test_export_roundtrip_program_only(tmp_path):
     import jax
     import jax.export

@@ -50,6 +50,10 @@ def parse_args():
     p.add_argument("--warmup", action="store_true",
                    help="compile every size bucket before accepting requests")
     p.add_argument("--score-thr", type=float, default=0.3)
+    p.add_argument("--exported", default=None,
+                   help="serve a tools/deployment/export_model.py artifact "
+                        "instead of tracing/compiling the model (must match "
+                        "--max-batch and the bucket size it was exported at)")
     p.add_argument("--mask-transfer", default="u8",
                    choices=("u8", "f32", "bits"),
                    help="device->host mask encoding: u8 (4x less traffic, "
@@ -229,6 +233,7 @@ def main():
     inferencer = DetInferencer(
         args.config, weights=args.checkpoint, batch_size=args.max_batch,
         size_buckets=buckets, mask_transfer=args.mask_transfer,
+        exported=args.exported,
     )
     inferencer.verify_weights()  # fail on unreadable ckpts before binding
     worker = BatchWorker(inferencer, args.max_batch, args.batch_window_ms / 1e3)
