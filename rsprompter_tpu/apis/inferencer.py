@@ -23,6 +23,32 @@ from rsprompter_tpu.data.transforms import build_test_pipeline, collate_batch
 from rsprompter_tpu.ops.masks import finalize_masks_np
 
 
+def make_infer_batch(imgs, crop, batch_size, start_id: int = 0):
+    """Images (HWC float arrays) -> (batch dict, metas) via the inference
+    pipeline + collate. The ONE place the serving batch structure is defined:
+    ``DetInferencer.__call__`` builds runtime batches here and
+    ``tools/deployment/export_model.py`` builds its export example here, so
+    exported artifacts always match serving batches key-for-key."""
+    from rsprompter_tpu.data.transforms import collate_batch as _collate
+
+    pipeline = build_test_pipeline(crop)
+    samples = []
+    for i, img in enumerate(imgs):
+        h, w = img.shape[:2]
+        s = dict(
+            img=img, img_id=start_id + i, img_path="",
+            ori_shape=(h, w), img_shape=(h, w), scale_factor=(1.0, 1.0),
+            gt_bboxes=np.zeros((0, 4), np.float32),
+            gt_labels=np.zeros(0, np.int64),
+            gt_ignore_flags=np.zeros(0, bool),
+            gt_masks=np.zeros((0, h, w), np.uint8),
+        )
+        for t in pipeline:
+            s = t(s)
+        samples.append(s)
+    return _collate(samples, batch_size=batch_size, max_gt=1, pad_shape=crop)
+
+
 class DetInferencer:
     """size_buckets: optional ascending list of square input sizes. Each image
     routes to the smallest bucket that fits (after keep-ratio resize), and each
@@ -45,6 +71,11 @@ class DetInferencer:
         one arg; program-only artifacts get the locally-loaded variables).
         """
         assert mask_transfer in ("u8", "f32", "bits"), mask_transfer
+        if exported and mask_transfer != "u8":
+            raise ValueError(
+                "exported artifacts always ship uint8 mask probs; "
+                f"mask_transfer={mask_transfer!r} cannot be honored"
+            )
         if isinstance(model, str):
             cfg = Config.fromfile(model)
         elif isinstance(model, Config):
@@ -88,6 +119,12 @@ class DetInferencer:
             # (batch,) weights-embedded
             takes_vars = len(exp.in_tree.children()[0].children()) == 2
             if not takes_vars:
+                if self.weights:
+                    raise ValueError(
+                        "weights-embedded exported artifact would silently "
+                        f"ignore the checkpoint {self.weights!r}; re-export "
+                        "with --no-embed-weights or drop the checkpoint"
+                    )
                 self._set_exported_predict(exp, takes_vars=False)
                 self._variables = {}  # weights live inside the artifact
                 return
@@ -189,24 +226,8 @@ class DetInferencer:
             # break the collate pad
             hw = max(max(im.shape[0], im.shape[1]) for im in imgs)
             crop = self._bucket_for(hw, hw)
-            pipeline = build_test_pipeline(crop)
-            samples = []
-            for item, img in zip(chunk, imgs):
-                h, w = img.shape[:2]
-                s = dict(
-                    img=img, img_id=start, img_path=item if isinstance(item, str) else "",
-                    ori_shape=(h, w), img_shape=(h, w), scale_factor=(1.0, 1.0),
-                    gt_bboxes=np.zeros((0, 4), np.float32),
-                    gt_labels=np.zeros(0, np.int64),
-                    gt_ignore_flags=np.zeros(0, bool),
-                    gt_masks=np.zeros((0, h, w), np.uint8),
-                )
-                for t in pipeline:
-                    s = t(s)
-                samples.append(s)
-            batch_np, metas = collate_batch(
-                samples, batch_size=self.batch_size, max_gt=1,
-                pad_shape=crop,
+            batch_np, metas = make_infer_batch(
+                imgs, crop, self.batch_size, start_id=start
             )
             batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
             self._ensure_initialized(batch)

@@ -128,7 +128,8 @@ class CocoEvaluator:
         self.iou_type = iou_type
         self.max_dets = max_dets
         # custom iou_thrs (e.g. [0.1] for localization-error analysis);
-        # summarize()'s mAP_50/_75 keys assume the default ladder
+        # summarize()/per_class_ap() look up the .5/.75 columns and report
+        # NaN when the ladder lacks them
         self.iou_thrs = np.asarray(iou_thrs if iou_thrs is not None else IOU_THRS)
         # per (class, area) lists over images
         self._results: Dict = {

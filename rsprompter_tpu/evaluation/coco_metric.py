@@ -151,12 +151,17 @@ def _jsonable(d: Dict) -> Dict:
     out = {}
     for k, v in d.items():
         if k == "masks":
-            # bbox-only runs carry GT masks as raw binary arrays (never
-            # RLE-encoded by process); encode here so the dump stays
-            # loadable (and ~500x smaller than nested lists of pixels)
+            # bbox-only runs carry GT masks as raw binary arrays (possibly a
+            # list of per-instance bitmaps), never RLE-encoded by process;
+            # encode here so the dump stays loadable (and ~500x smaller than
+            # nested lists of pixels)
             if not isinstance(v, list):
                 v = encode_masks(np.asarray(v).astype(np.uint8))
-            out[k] = [r.to_coco() for r in v]
+            out[k] = [
+                r.to_coco() if hasattr(r, "to_coco")
+                else encode_masks(np.asarray(r, np.uint8)[None])[0].to_coco()
+                for r in v
+            ]
         elif isinstance(v, np.ndarray):
             out[k] = v.tolist()
         else:

@@ -67,7 +67,10 @@ def merge_patch_predictions(
     from overlapping tiles with class-wise NMS.
 
     preds: per-patch dicts {bboxes, scores, labels, masks? (N, ph, pw)};
-    returns one scene-level dict (masks pasted into full-scene canvases).
+    returns one scene-level dict. Masks come back as ``(patch_mask, (x0,
+    y0))`` pairs — per-instance FULL-SCENE canvases would be
+    O(dets * H * W) host memory (~20 GB at 300 dets on an 8192^2 scene);
+    use :func:`paste_scene_masks` to materialize them one at a time.
     """
     h, w = scene_hw
     boxes, scores, labels, masks, patch_of = [], [], [], [], []
@@ -82,8 +85,13 @@ def merge_patch_predictions(
         scores.append(np.asarray(pred["scores"], np.float32))
         labels.append(np.asarray(pred["labels"], np.int64))
         patch_of.extend([pi] * len(b))
-        if pred.get("masks") is not None:
-            masks.extend(np.asarray(pred["masks"]).astype(bool))
+        pm = pred.get("masks")
+        # keep masks index-aligned with detections even when only some
+        # patches carry masks
+        masks.extend(
+            [m.astype(bool) for m in np.asarray(pm)] if pm is not None
+            else [None] * len(b)
+        )
     if not boxes:
         return dict(bboxes=np.zeros((0, 4)), scores=np.zeros(0),
                     labels=np.zeros(0, np.int64), masks=None)
@@ -102,13 +110,25 @@ def merge_patch_predictions(
     out = dict(
         bboxes=boxes[keep_all], scores=scores[keep_all], labels=labels[keep_all]
     )
-    if masks:
-        canvases = np.zeros((len(keep_all), h, w), bool)
-        for oi, i in enumerate(keep_all):
-            x0, y0 = offsets[patch_of[i]]
-            m = masks[i]
-            canvases[oi, y0 : y0 + m.shape[0], x0 : x0 + m.shape[1]] = m
-        out["masks"] = canvases
+    if any(masks[i] is not None for i in keep_all):
+        out["masks"] = [
+            (masks[i], offsets[patch_of[i]]) if masks[i] is not None else None
+            for i in keep_all
+        ]
     else:
         out["masks"] = None
     return out
+
+
+def paste_scene_masks(mask_pairs, scene_hw: Tuple[int, int]):
+    """Yield full-scene boolean masks one at a time from merge output's
+    ``(patch_mask, (x0, y0))`` pairs (O(H*W) peak, not O(N*H*W))."""
+    h, w = scene_hw
+    for pair in mask_pairs:
+        if pair is None:
+            yield np.zeros((h, w), bool)
+            continue
+        m, (x0, y0) = pair
+        canvas = np.zeros((h, w), bool)
+        canvas[y0 : y0 + m.shape[0], x0 : x0 + m.shape[1]] = m
+        yield canvas

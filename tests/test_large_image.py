@@ -5,6 +5,7 @@ import numpy as np
 from rsprompter_tpu.utils.large_image import (
     merge_patch_predictions,
     nms_np,
+    paste_scene_masks,
     slice_offsets,
 )
 
@@ -50,11 +51,36 @@ def test_merge_shifts_and_dedups_across_overlap():
     assert len(out["scores"]) == 1
     assert out["scores"][0] == 0.9  # higher-scored duplicate wins
     np.testing.assert_allclose(out["bboxes"][0], [70, 10, 90, 30])
-    assert out["masks"].shape == (1, 100, 160)
-    ys, xs = np.nonzero(out["masks"][0])
+    scene_masks = list(paste_scene_masks(out["masks"], (100, 160)))
+    assert scene_masks[0].shape == (100, 160)
+    ys, xs = np.nonzero(scene_masks[0])
     assert xs.min() == 70 and xs.max() == 89 and ys.min() == 10
 
     # different classes never merge
     preds[1]["labels"] = [1]
     out2 = merge_patch_predictions(preds, offsets, (100, 160), iou_thr=0.5)
     assert len(out2["scores"]) == 2
+
+
+def test_merge_with_partial_masks_stays_aligned():
+    """Only some patches carrying masks must not misalign mask<->detection
+    pairing (review finding): the maskless patch's detection keeps None."""
+    patch = 100
+    offsets = [(0, 0), (200, 0)]
+    m1 = np.zeros((1, patch, patch), bool)
+    m1[0, 5:15, 5:15] = True
+    preds = [
+        dict(bboxes=[[10, 10, 30, 30]], scores=[0.8], labels=[0]),  # no masks
+        dict(bboxes=[[5, 5, 15, 15]], scores=[0.9], labels=[0], masks=m1),
+    ]
+    out = merge_patch_predictions(preds, offsets, (100, 320), iou_thr=0.5)
+    assert len(out["scores"]) == 2
+    i_lo = int(np.argmin(out["scores"]))  # the maskless 0.8 detection
+    i_hi = int(np.argmax(out["scores"]))
+    assert out["masks"][i_lo] is None
+    masked = out["masks"][i_hi]
+    assert masked is not None and masked[1] == (200, 0)
+    scene = list(paste_scene_masks(out["masks"], (100, 320)))
+    assert scene[i_lo].sum() == 0
+    ys, xs = np.nonzero(scene[i_hi])
+    assert xs.min() == 205 and ys.min() == 5

@@ -72,29 +72,16 @@ def build_exported(cfg, weights=None, batch_size=1, image_size=None,
     import jax
 
     from rsprompter_tpu.apis.build import build_detector
-    from rsprompter_tpu.data.transforms import build_test_pipeline, collate_batch
+    from rsprompter_tpu.apis.inferencer import make_infer_batch
 
     model = build_detector(cfg.model)
     size = image_size or tuple(cfg.get("crop_size", (1024, 1024)))[0]
-    # example batch built EXACTLY like DetInferencer.__call__ builds its
-    # runtime batches: exp.call requires an identical pytree (keys, shapes,
-    # dtypes), so serving can feed the artifact directly
-    samples = []
-    for _ in range(batch_size):
-        s = dict(
-            img=np.zeros((size, size, 3), np.float32), img_id=0, img_path="",
-            ori_shape=(size, size), img_shape=(size, size),
-            scale_factor=(1.0, 1.0),
-            gt_bboxes=np.zeros((0, 4), np.float32),
-            gt_labels=np.zeros(0, np.int64),
-            gt_ignore_flags=np.zeros(0, bool),
-            gt_masks=np.zeros((0, size, size), np.uint8),
-        )
-        for t in build_test_pipeline((size, size)):
-            s = t(s)
-        samples.append(s)
-    b, _ = collate_batch(
-        samples, batch_size=batch_size, max_gt=1, pad_shape=(size, size)
+    # the example batch comes from the SAME builder DetInferencer.__call__
+    # uses, so the artifact's input pytree matches serving batches
+    # key-for-key by construction
+    b, _ = make_infer_batch(
+        [np.zeros((size, size, 3), np.float32)] * batch_size,
+        (size, size), batch_size,
     )
     batch = {k: jax.numpy.asarray(v) for k, v in b.items()}
     variables = jax.jit(

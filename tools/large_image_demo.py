@@ -46,6 +46,7 @@ def main():
     from rsprompter_tpu.core.config import Config
     from rsprompter_tpu.utils.large_image import (
         merge_patch_predictions,
+        paste_scene_masks,
         slice_offsets,
     )
 
@@ -81,9 +82,15 @@ def main():
         bboxes=merged["bboxes"].tolist(), scores=merged["scores"].tolist(),
         labels=merged["labels"].tolist(),
     )
+    vis = img.astype(np.float32)
     if merged["masks"] is not None:
-        vis_pred["masks"] = merged["masks"]
-    vis = draw_predictions(img.astype(np.float32), vis_pred)
+        # blend masks one at a time (O(H*W) peak, not O(dets*H*W))
+        vis = vis.astype(np.uint8).copy()
+        green = np.asarray((0, 255, 0), np.float32)
+        for m in paste_scene_masks(merged["masks"], (h, w)):
+            vis[m] = (0.5 * vis[m] + 0.5 * green).astype(np.uint8)
+        vis = vis.astype(np.float32)
+    vis = draw_predictions(vis, vis_pred)
     name = os.path.basename(args.image)
     cv2.imwrite(os.path.join(args.out_dir, name), vis)
     with open(os.path.join(args.out_dir, "predictions.json"), "w") as f:

@@ -230,6 +230,8 @@ def main():
     )
     if args.checkpoint and not os.path.exists(args.checkpoint):
         sys.exit(f"checkpoint not found: {args.checkpoint}")
+    if args.exported and not os.path.exists(args.exported):
+        sys.exit(f"exported artifact not found: {args.exported}")
     inferencer = DetInferencer(
         args.config, weights=args.checkpoint, batch_size=args.max_batch,
         size_buckets=buckets, mask_transfer=args.mask_transfer,
