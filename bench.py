@@ -110,12 +110,10 @@ def bench_full_model():
     attempt("anchor train bench", bench_train)
 
 
-def main():
+def measure_headline(batch=8, image_size=1024):
+    """-> (img/s, platform) for the encoder headline (scan-slope method)."""
     from rsprompter_tpu.models.sam.configs import sam_config
     from rsprompter_tpu.models.sam.vision_encoder import SamVisionEncoder
-
-    batch = 8
-    image_size = 1024
     cfg = sam_config("base", image_size=image_size).vision_config
     platform = jax.devices()[0].platform
     # fused Pallas path (packed-qkv attention + fused MLP) on TPU
@@ -167,7 +165,26 @@ def main():
         float(np.asarray(hi(params, x)))
         t_hi = time.perf_counter() - t0
         dts.append((t_hi - t_lo) / (n_hi - n_lo))
-    dt = min(dts)
+    return batch / min(dts), platform
+
+
+def main():
+    batch, image_size = 8, 1024
+    # transient tunnel errors (remote_compile read-body etc.) happen; the
+    # driver runs this exactly once per round, so retry the headline once
+    for attempt in range(2):
+        try:
+            ips, platform = measure_headline(batch, image_size)
+            break
+        except Exception as e:
+            if attempt:
+                raise
+            import gc
+            import sys
+
+            print(f"headline attempt 1 failed ({e}); retrying",
+                  file=sys.stderr, flush=True)
+            gc.collect()
 
     if os.environ.get("RSPROMPTER_BENCH_FULL", "1") != "0":
         try:
@@ -175,7 +192,6 @@ def main():
         except Exception as e:  # full-model extras must never kill the headline
             print(f"full-model bench skipped: {e}", flush=True)
 
-    ips = batch / dt
     baseline = A100_REFERENCE_IPS * TARGET_MULTIPLIER
     print(
         json.dumps(
