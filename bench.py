@@ -106,8 +106,30 @@ def bench_full_model():
             "vs_baseline": None,
         }))
 
+    def bench_query_train():
+        qcfg = Config.fromfile(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "configs/rsprompter/rsprompter_query-nwpu.py",
+        ))
+        qmodel = build_detector(qcfg.model)
+        qvars = jax.jit(
+            lambda: qmodel.init(rng, batch, jax.random.PRNGKey(1), method="loss")
+        )()
+        tx = optax.adamw(1e-4, weight_decay=0.05)
+        state = TrainState.create(qvars["params"], qvars.get("batch_stats"), tx)
+        step = make_train_step(qmodel, tx)
+        dt = timed(
+            lambda s, b, r: step(s, b, r)[1], state, batch, rng, warmup=3, reps=6
+        )
+        print(json.dumps({
+            "metric": "query train step (ViT-B @1024^2, bs2, tpu)",
+            "value": round(dt, 3), "unit": "s/iter",
+            "vs_baseline": None,
+        }))
+
     attempt("anchor predict bench", bench_predict)
     attempt("anchor train bench", bench_train)
+    attempt("query train bench", bench_query_train)
 
 
 def measure_headline(batch=8, image_size=1024):
