@@ -412,14 +412,20 @@ def _ln_qkv_bwd_pallas(x, ln_scale, ln_bias, w, b, eps, heads3, batch, g,
 
 
 def _pallas_bwd_enabled() -> bool:
-    """RSPROMPTER_PALLAS_BWD: '0' = off, 'force' = on even on CPU interpret
-    (testing the custom_vjp dispatch end to end), default = TPU only."""
+    """RSPROMPTER_PALLAS_BWD: '1' = on (TPU only), 'force' = on even on CPU
+    interpret (testing the custom_vjp dispatch end to end), default = off.
+
+    Defaulted OFF after the on-chip A/B (scripts/perf_bwd_kernels.py,
+    v5e @1024^2 bs2 anchor train step): Pallas backwards 354.2 ms/step vs
+    XLA recompute 352.4 ms/step — a wash. XLA's rematerialized backward is
+    already at the same speed, so the simpler path stays the default; the
+    kernels remain parity-tested and available via '1'/'force'."""
     import os
 
-    v = os.environ.get("RSPROMPTER_PALLAS_BWD", "1")
+    v = os.environ.get("RSPROMPTER_PALLAS_BWD", "0")
     if v == "force":
         return True
-    return v != "0" and jax.devices()[0].platform != "cpu"
+    return v not in ("0", "") and jax.devices()[0].platform != "cpu"
 
 
 def _fwd_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):

@@ -36,7 +36,7 @@ bs = {bs}
 model = build_detector(cfg.model)
 b = demo_batch(batch_size=bs, image_size=(1024, 1024), max_gt=8,
                num_classes=cfg.model.get("num_classes", 10))
-batch = {{k: jnp.asarray(v) for k, v in b.items()}}
+batch = {k: jnp.asarray(v) for k, v in b.items()}
 rng = jax.random.PRNGKey(0)
 variables = jax.jit(
     lambda: model.init(rng, batch, jax.random.PRNGKey(1), method="loss")
@@ -57,7 +57,7 @@ reps = 10
 for _ in range(reps):
     state = run(state)
 dt = (time.perf_counter() - t0) / reps
-print(f"RESULT {{dt * 1e3:.1f}} ms/step", flush=True)
+print(f"RESULT {dt * 1e3:.1f} ms/step", flush=True)
 """
 
 
