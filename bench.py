@@ -91,15 +91,25 @@ def bench_full_model():
             "vs_baseline": None,
         }))
 
+    def timed_step(step, state, warmup=3, reps=6):
+        # the jitted step DONATES state (train_state.py:88) — thread the new
+        # state through each rep; re-passing the donated one is
+        # INVALID_ARGUMENT on TPU (CPU ignores donation and hides this)
+        for _ in range(warmup):
+            state, m = step(state, batch, rng)
+            np.asarray(m["loss"])[...]
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, m = step(state, batch, rng)
+            np.asarray(m["loss"])[...]
+        return (time.perf_counter() - t0) / reps
+
     def bench_train():
         tx = optax.adamw(1e-4, weight_decay=0.05)
         state = TrainState.create(
             variables["params"], variables.get("batch_stats"), tx
         )
-        step = make_train_step(model, tx)
-        dt = timed(
-            lambda s, b, r: step(s, b, r)[1], state, batch, rng, warmup=3, reps=6
-        )
+        dt = timed_step(make_train_step(model, tx), state)
         print(json.dumps({
             "metric": "anchor train step (ViT-B @1024^2, bs2, tpu)",
             "value": round(dt, 3), "unit": "s/iter",
@@ -117,10 +127,7 @@ def bench_full_model():
         )()
         tx = optax.adamw(1e-4, weight_decay=0.05)
         state = TrainState.create(qvars["params"], qvars.get("batch_stats"), tx)
-        step = make_train_step(qmodel, tx)
-        dt = timed(
-            lambda s, b, r: step(s, b, r)[1], state, batch, rng, warmup=3, reps=6
-        )
+        dt = timed_step(make_train_step(qmodel, tx), state)
         print(json.dumps({
             "metric": "query train step (ViT-B @1024^2, bs2, tpu)",
             "value": round(dt, 3), "unit": "s/iter",
