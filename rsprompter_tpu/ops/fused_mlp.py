@@ -425,7 +425,7 @@ def _pallas_bwd_enabled() -> bool:
     v = os.environ.get("RSPROMPTER_PALLAS_BWD", "0")
     if v == "force":
         return True
-    return v not in ("0", "") and jax.devices()[0].platform != "cpu"
+    return v == "1" and jax.devices()[0].platform != "cpu"
 
 
 def _fwd_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):

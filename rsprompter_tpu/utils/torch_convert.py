@@ -68,6 +68,40 @@ def _flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
 _TRANSPOSE_CONV_HINTS = ("upscale_conv", "deconv", "fpn1_0", "fpn1_3", "fpn2_0")
 
 
+def _resize_abs_pos_embed(arr: np.ndarray, dst_hw: Tuple[int, int]) -> np.ndarray:
+    """Bicubic-resize a (1, H, W, C) abs pos-embed to (1, h, w, C).
+
+    Mirrors the reference's load-time rule for checkpoints whose native input
+    size differs from the model's (``mmpretrain/models/backbones/vit_sam.py:
+    576-588`` -> ``resize_pos_embed`` in ``mmpretrain/models/utils/embed.py``:
+    ``F.interpolate(..., align_corners=False, mode='bicubic')`` on float32).
+    Uses torch on host for exact parity with that rule.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    t = torch.from_numpy(np.ascontiguousarray(arr)).float().permute(0, 3, 1, 2)
+    t = F.interpolate(t, size=tuple(dst_hw), mode="bicubic", align_corners=False)
+    return t.permute(0, 2, 3, 1).numpy()
+
+
+def _resize_rel_pos(arr: np.ndarray, dst_len: int) -> np.ndarray:
+    """Linearly resize a (L1, C) decomposed-rel-pos table to (L2, C).
+
+    Mirrors ``vit_sam.py:636-662`` (``_prepare_relative_position``):
+    ``F.interpolate(rel.reshape(1, L1, -1).permute(0, 2, 1), size=L2,
+    mode='linear')`` — align_corners=False. Applied when a 1024-native SAM
+    checkpoint's global-layer tables load into a model built at another
+    input-size bucket (e.g. 512: (127, C) -> (63, C)).
+    """
+    import torch
+    import torch.nn.functional as F
+
+    t = torch.from_numpy(np.ascontiguousarray(arr)).float()
+    t = F.interpolate(t.t().unsqueeze(0), size=int(dst_len), mode="linear")
+    return t.squeeze(0).t().numpy()
+
+
 def _transform(
     torch_arr: np.ndarray, flax_leaf_name: str, flax_shape, path,
     flatten_linears: Optional[Dict[str, Tuple[int, int, int]]] = None,
@@ -102,6 +136,25 @@ def _transform(
                 arr = conv
         else:
             raise ValueError(f"Unhandled kernel ndim {arr.ndim} at {path}")
+    if tuple(arr.shape) != tuple(flax_shape):
+        # Input-size-bucket mismatch: a checkpoint trained at one native size
+        # loading into a model built at another. Resize positional tables by
+        # the reference's load-time rule (see the two helpers above).
+        if (
+            flax_leaf_name == "pos_embed"
+            and arr.ndim == 4
+            and len(flax_shape) == 4
+            and arr.shape[0] == flax_shape[0] == 1
+            and arr.shape[3] == flax_shape[3]
+        ):
+            arr = _resize_abs_pos_embed(arr, (flax_shape[1], flax_shape[2]))
+        elif (
+            flax_leaf_name in ("rel_pos_h", "rel_pos_w")
+            and arr.ndim == 2
+            and len(flax_shape) == 2
+            and arr.shape[1] == flax_shape[1]
+        ):
+            arr = _resize_rel_pos(arr, flax_shape[0])
     if tuple(arr.shape) != tuple(flax_shape):
         raise ValueError(
             f"Shape mismatch at {'.'.join(path)}: torch {arr.shape} vs flax {tuple(flax_shape)}"
