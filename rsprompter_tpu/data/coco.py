@@ -120,7 +120,7 @@ class CocoDataset:
         img = img.astype(np.float32)
         h, w = img.shape[:2]
 
-        bboxes, labels, masks, ignores = [], [], [], []
+        bboxes, labels, masks, ignores, areas = [], [], [], [], []
         for a in info["anns"]:
             if a["category_id"] not in self.cat_id_to_label:
                 continue
@@ -128,6 +128,10 @@ class CocoDataset:
             bboxes.append([x, y, x + bw, y + bh])
             labels.append(self.cat_id_to_label[a["category_id"]])
             ignores.append(bool(a.get("iscrowd", 0)))
+            # COCO 'area' is the segmentation area, and is what pycocotools'
+            # area-range ignore rule reads (cocoeval _prepare/evaluateImg);
+            # bbox area is only a fallback for area-less annotations
+            areas.append(float(a.get("area", bw * bh)))
             seg = a.get("segmentation")
             if isinstance(seg, list):
                 masks.append(poly_to_mask(seg, h, w))
@@ -146,6 +150,7 @@ class CocoDataset:
             gt_bboxes=np.asarray(bboxes, np.float32).reshape(n, 4),
             gt_labels=np.asarray(labels, np.int64),
             gt_ignore_flags=np.asarray(ignores, bool),
+            gt_areas=np.asarray(areas, np.float64),
             gt_masks=(
                 np.stack(masks) if masks else np.zeros((0, h, w), np.uint8)
             ),

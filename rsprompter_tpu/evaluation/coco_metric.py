@@ -187,12 +187,19 @@ def from_jsonable(d: Dict) -> Dict:
 
 
 def gt_from_raw_sample(raw: Dict) -> Dict:
-    """Dataset ``load_raw`` output -> evaluator GT dict (ori-resolution)."""
+    """Dataset ``load_raw`` output -> evaluator GT dict (ori-resolution).
+
+    Areas come from the annotation 'area' field (segmentation area — what
+    pycocotools' area-range ignore rule reads), not the bbox; bbox area is
+    only the fallback for sources that don't carry it."""
     b = raw["gt_bboxes"]
+    areas = raw.get("gt_areas")
+    if areas is None:
+        areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
     return dict(
         bboxes=b,
         labels=raw["gt_labels"],
         iscrowd=raw["gt_ignore_flags"],
-        areas=(b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]),
+        areas=areas,
         masks=raw["gt_masks"].astype(np.uint8),
     )
