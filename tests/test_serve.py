@@ -94,6 +94,52 @@ def test_batch_worker_groups_by_bucket():
     assert w.images_run == 3 and w.batches_run == 2
 
 
+def test_bucketed_dispatcher_concurrent_per_bucket():
+    """Each size bucket gets its OWN worker thread + batching window, so a
+    small-bucket job never waits out the big bucket's window."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import serve as serve_mod
+
+    class FakeInferencer:
+        def _bucket_for(self, h, w):
+            return (256, 256) if max(h, w) <= 256 else (512, 512)
+
+        def __call__(self, imgs, **kw):
+            return {"predictions": [
+                {"bboxes": [], "scores": [], "labels": []} for _ in imgs
+            ]}
+
+    d = serve_mod.BucketedDispatcher(FakeInferencer(), 8, 0.05)
+    jobs = [
+        serve_mod._Job(np.zeros((s, s, 3), np.float32), 0.3, False)
+        for s in (200, 400, 220)
+    ]
+    for j in jobs:
+        d.submit(j)
+    for j in jobs:
+        assert j.event.wait(timeout=30)
+        assert j.result is not None and j.error is None
+    assert set(d._workers) == {(256, 256), (512, 512)}
+    assert all(w.is_alive() for w in d._workers.values())
+    assert d.images_run == 3
+    assert d.batches_run == 2  # one per bucket (200+220 coalesced)
+
+
+def test_smoke_predict_rejects_malformed_output():
+    """A server whose model produces garbage must die BEFORE binding."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import serve as serve_mod
+
+    class BrokenInferencer:
+        def __call__(self, imgs, **kw):
+            return {"predictions": [{"oops": 1}]}
+
+    with pytest.raises(SystemExit):
+        serve_mod.smoke_predict(BrokenInferencer(), 64)
+
+
 @pytest.mark.slow
 def test_serve_batches_concurrent_requests(tmp_path):
     port = _free_port()
@@ -116,12 +162,18 @@ def test_serve_batches_concurrent_requests(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     try:
-        deadline = time.time() + 120
+        # startup now includes the pre-bind smoke predict, which pays the
+        # (max_batch, bucket) program compile the first request used to pay
+        deadline = time.time() + 600
+        saw_smoke = False
         for line in proc.stdout:
+            if "smoke predict" in line:
+                saw_smoke = True
             if "serving on" in line:
                 break
             if time.time() > deadline:
                 raise TimeoutError("server did not start")
+        assert saw_smoke, "smoke predict must run before the port binds"
         assert proc.poll() is None
 
         results = []

@@ -149,6 +149,58 @@ class BatchWorker(threading.Thread):
         return out
 
 
+class BucketedDispatcher:
+    """One BatchWorker (queue + batching window) PER size bucket.
+
+    A burst of small images never waits behind the big bucket's batching
+    window, and host-side pre/post-processing of different buckets overlaps;
+    device predicts still serialize on the single device inside jax. Workers
+    spawn lazily on the first job for their bucket.
+    """
+
+    def __init__(self, inferencer, max_batch: int, window_s: float):
+        self.inferencer = inferencer
+        self.max_batch = max_batch
+        self.window_s = window_s
+        self._workers: "dict[tuple, BatchWorker]" = {}
+        self._lock = threading.Lock()
+
+    def submit(self, job: _Job) -> None:
+        h, w = job.img.shape[:2]
+        bucket = self.inferencer._bucket_for(h, w)
+        with self._lock:
+            worker = self._workers.get(bucket)
+            if worker is None:
+                worker = BatchWorker(self.inferencer, self.max_batch, self.window_s)
+                worker.start()
+                self._workers[bucket] = worker
+        worker.submit(job)
+
+    @property
+    def batches_run(self) -> int:
+        return sum(w.batches_run for w in self._workers.values())
+
+    @property
+    def images_run(self) -> int:
+        return sum(w.images_run for w in self._workers.values())
+
+
+def smoke_predict(inferencer, size: int) -> None:
+    """Run one real predict through the full pipeline BEFORE binding the
+    port, so a server with unloadable/garbage weights or a broken compile
+    fails at startup instead of 500ing its first client."""
+    t0 = time.perf_counter()
+    out = inferencer(
+        [np.zeros((size, size, 3), np.uint8)], return_masks=True, score_thr=1.0
+    )["predictions"]
+    if not out or not {"bboxes", "scores", "labels"} <= set(out[0]):
+        raise SystemExit(
+            f"smoke predict returned malformed predictions: {out!r:.200}"
+        )
+    print(f"smoke predict {size}^2 ok ({time.perf_counter() - t0:.1f}s)",
+          flush=True)
+
+
 def make_handler(worker: BatchWorker, model_name: str, default_thr: float,
                  request_timeout: float = 0.0):
     class Handler(BaseHTTPRequestHandler):
@@ -238,7 +290,9 @@ def main():
         exported=args.exported,
     )
     inferencer.verify_weights()  # fail on unreadable ckpts before binding
-    worker = BatchWorker(inferencer, args.max_batch, args.batch_window_ms / 1e3)
+    worker = BucketedDispatcher(
+        inferencer, args.max_batch, args.batch_window_ms / 1e3
+    )
     if args.warmup:
         for size in buckets or [inferencer.crop_size[0]]:
             t0 = time.perf_counter()
@@ -248,7 +302,10 @@ def main():
             )
             print(f"warmup {size}^2 x{args.max_batch}: "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)
-    worker.start()
+    # load-then-smoke: one real predict through the full pipeline on the
+    # smallest bucket before the port binds (cheap after --warmup — the
+    # program is already compiled)
+    smoke_predict(inferencer, min(buckets) if buckets else inferencer.crop_size[0])
     server = ThreadingHTTPServer(
         (args.host, args.port),
         make_handler(worker, os.path.basename(args.config), args.score_thr,

@@ -84,6 +84,11 @@ def _dump_overlays(show_dir, metas, dets, probs, classes, score_thr=0.3):
 def main():
     args = parse_args()
     import jax
+
+    # the axon sitecustomize force-pins the platform; this env knob lets
+    # wrappers (tests, verify_parity.sh) redirect the CLI to cpu in-process
+    if os.environ.get("RSPROMPTER_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["RSPROMPTER_PLATFORM"])
     import numpy as np
 
     from rsprompter_tpu.apis.build import build_detector

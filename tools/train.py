@@ -32,6 +32,11 @@ def main():
     args = parse_args()
     import jax
 
+    # the axon sitecustomize force-pins the platform; this env knob lets
+    # wrappers (tests, verify_parity.sh) redirect the CLI to cpu in-process
+    if os.environ.get("RSPROMPTER_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["RSPROMPTER_PLATFORM"])
+
     from rsprompter_tpu.apis.build import build_detector, freeze_paths_for
     from rsprompter_tpu.core.config import Config
     from rsprompter_tpu.core.registry import DATASETS
