@@ -123,6 +123,27 @@ def bbox_head_predict_single(
     flat_valid = (
         jnp.repeat(proposal_valid, num_classes) & (flat_scores > score_thr)
     )
+
+    # Score top-k prefilter before the per-class NMS. The flat candidate pool
+    # is R*C (10,000 for NWPU's 1000 proposals x 10 classes) and the padded
+    # NMS materializes an (N, N) IoU matrix — 400 MB at N=10k. Greedy NMS is
+    # invariant to dropping candidates that can never be emitted: suppression
+    # only ever flows from higher-scored to lower-scored boxes, so taking the
+    # top `nms_pre` by score changes nothing unless more than nms_pre
+    # candidates clear score_thr AND one ranked below the cut survives into
+    # the top max_per_img — which would need >nms_pre-max_per_img mutually
+    # suppressing higher-scored boxes. `nms_pre=0` disables the prefilter
+    # (exact mode, reference semantics: mmcv multiclass_nms has no cap).
+    nms_pre = cfg.get("nms_pre", 2000)
+    if nms_pre and flat_scores.shape[0] > nms_pre:
+        neg_inf = jnp.asarray(-jnp.inf, flat_scores.dtype)
+        ranked = jnp.where(flat_valid, flat_scores, neg_inf)
+        _, top_i = jax.lax.top_k(ranked, nms_pre)
+        flat_boxes = flat_boxes[top_i]
+        flat_scores = flat_scores[top_i]
+        flat_labels = flat_labels[top_i]
+        flat_valid = flat_valid[top_i]
+
     idx, keep, out_boxes, out_scores = batched_nms(
         flat_boxes, flat_scores, flat_labels,
         iou_thr=iou_thr, max_out=max_per_img, valid=flat_valid,

@@ -290,3 +290,46 @@ def _np_roi_align_aligned_hw(feat_nchw, rois, out, scale, ratio_h, ratio_w):
                         )
                 res[ri, :, oy, ox] = acc / (ratio_h * ratio_w)
     return res
+
+
+def test_bbox_predict_nms_prefilter_is_exact():
+    """Top-k score prefilter before the rcnn per-class NMS must not change
+    the result whenever fewer than nms_pre candidates clear score_thr (the
+    realistic regime; nms_pre=0 is the exact-mode fallback)."""
+    from rsprompter_tpu.models.roi_heads.bbox_head import (
+        bbox_head_predict_single,
+    )
+
+    rs = np.random.RandomState(7)
+    r, c = 80, 10
+    cls_logits = rs.randn(r, c + 1).astype(np.float32) * 3.0
+    deltas = (rs.randn(r, c * 4) * 0.1).astype(np.float32)
+    proposals = _rand_boxes(rs, r, size=200)
+    valid = rs.rand(r) > 0.1
+    img_shape = np.asarray([220.0, 220.0], np.float32)
+    cfg_exact = dict(score_thr=0.05, nms_iou_thr=0.5, max_per_img=20,
+                     nms_pre=0)
+    cfg_pre = dict(cfg_exact, nms_pre=256)  # < r*c, forces the prefilter path
+
+    args = (jnp.asarray(cls_logits), jnp.asarray(deltas),
+            jnp.asarray(proposals), jnp.asarray(valid),
+            jnp.asarray(img_shape), c)
+    exact = bbox_head_predict_single(*args, cfg_exact)
+    pre = bbox_head_predict_single(*args, cfg_pre)
+
+    # sanity: the prefilter regime actually holds (few enough valid cands)
+    n_valid = int(np.sum(
+        (np.repeat(valid, c))
+        & (jax_softmax_scores(cls_logits)[:, :c].reshape(-1) > 0.05)))
+    assert n_valid <= 256
+
+    np.testing.assert_array_equal(np.asarray(exact.valid), np.asarray(pre.valid))
+    np.testing.assert_allclose(np.asarray(exact.boxes), np.asarray(pre.boxes))
+    np.testing.assert_allclose(np.asarray(exact.scores), np.asarray(pre.scores))
+    np.testing.assert_array_equal(np.asarray(exact.labels), np.asarray(pre.labels))
+
+
+def jax_softmax_scores(cls_logits):
+    import jax
+
+    return np.asarray(jax.nn.softmax(jnp.asarray(cls_logits), axis=-1))
