@@ -10,6 +10,8 @@ components to near-no-ops and re-timing the scan-chained predict:
   nonms    nms_padded -> plain top-k (no suppression fixpoint); hits both
            the RPN's per-level NMS and the bbox head's class NMS
   noroi    extract_roi_feats -> zeros (RoIAlign 7^2 x1000 + 14^2 x100)
+  notopk   jax.lax.top_k -> prefix slice (no sort; RPN per-level top-1000
+           over up-to-400k scores + the rcnn prefilter are sort-based)
 
 Usage: python scripts/perf_pred_device.py [variants...]
 """
@@ -23,6 +25,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("RSPROMPTER_PLATFORM"):  # e.g. cpu smoke past the axon pin
+    jax.config.update("jax_platforms", os.environ["RSPROMPTER_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,7 +36,8 @@ from rsprompter_tpu.apis.build import build_detector
 from rsprompter_tpu.core.config import Config
 from rsprompter_tpu.utils.testing import demo_batch
 
-BS, IMG = 2, 1024
+BS = int(os.environ.get("PRED_BS", "2"))
+IMG = int(os.environ.get("PRED_IMG", "1024"))
 
 
 def run(variant):
@@ -85,6 +92,15 @@ def run(variant):
             out_scores = jnp.where(keep, scores[order], 0.0)
             return order, keep, out_boxes, out_scores
         patch(nms_mod, "nms_padded", fake_nms)
+    elif variant == "notopk":
+        def fake_top_k(operand, k):
+            # timing-only: prefix slice, descending-ish order not preserved
+            vals = jax.lax.slice_in_dim(operand, 0, k, axis=-1)
+            idx = jnp.broadcast_to(
+                jnp.arange(k, dtype=jnp.int32), vals.shape
+            )
+            return vals, idx
+        patch(jax.lax, "top_k", fake_top_k)
     elif variant == "noroi":
         def fake_roi(feats, rois, out_size, strides, sampling_ratio=0):
             n = rois.shape[0]
@@ -134,5 +150,6 @@ def run(variant):
 
 
 if __name__ == "__main__":
-    for v in sys.argv[1:] or ["full", "noenc", "nodec", "nonms", "noroi"]:
+    for v in sys.argv[1:] or ["full", "noenc", "nodec", "nonms", "noroi",
+                              "notopk"]:
         run(v)
