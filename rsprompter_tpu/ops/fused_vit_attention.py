@@ -169,6 +169,19 @@ def _pair_expansions(hw: Tuple[int, int], dtype) -> Tuple[jax.Array, jax.Array]:
     return e_a, e_b
 
 
+def _mxu_denominator_mode() -> str:
+    """RSPROMPTER_MXU_LSE: '' (default, VPU fp32 reduce) | 'dot' | 'concat'.
+
+    A/B gate for computing the softmax denominator on the MXU instead of a
+    separate scores-sized VPU reduce (read at trace time; see _attend_one).
+    Sum values are identical to fp32 rounding (both accumulate bf16 p in
+    fp32; only the reduction order differs)."""
+    import os
+
+    v = os.environ.get("RSPROMPTER_MXU_LSE", "")
+    return v if v in ("dot", "concat") else ""
+
+
 def _attend_one(q, k, v, f, e, scale, out_dtype, safe=False):
     """scores -> softmax -> PV for one head; bias via one expansion matmul.
 
@@ -194,8 +207,26 @@ def _attend_one(q, k, v, f, e, scale, out_dtype, safe=False):
         s = jnp.clip(s, -60.0, 60.0)
     # exp2 on fp32 == exp to 1 ulp; measurably faster on the VPU
     p = jnp.exp2(s * LOG2E).astype(v.dtype)
-    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-    o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+    mode = _mxu_denominator_mode()
+    if mode == "concat":
+        # fold the softmax denominator into the PV matmul: appending a ones
+        # column to v makes the MXU compute sum(p) in the same contraction
+        # (the extra lane rides the existing 128-lane padding), removing the
+        # separate scores-sized VPU reduce pass
+        ones = jnp.ones((v.shape[0], 1), v.dtype)
+        ol = jax.lax.dot(
+            p, jnp.concatenate([v, ones], axis=1),
+            preferred_element_type=jnp.float32,
+        )
+        o, l = ol[:, :-1], ol[:, -1:]
+    elif mode == "dot":
+        # second tiny MXU matvec over p instead of the VPU reduce
+        ones = jnp.ones((v.shape[0], 1), v.dtype)
+        l = jax.lax.dot(p, ones, preferred_element_type=jnp.float32)
+        o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+    else:
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
     return (o / l).astype(out_dtype)
 
 
