@@ -92,6 +92,30 @@ def run(variant):
             out_scores = jnp.where(keep, scores[order], 0.0)
             return order, keep, out_boxes, out_scores
         patch(nms_mod, "nms_padded", fake_nms)
+    elif variant == "notwt":
+        def fake_twt(self, point_embeddings, image_embeddings, image_pe,
+                     shared=False):
+            eps = image_pe.mean().astype(point_embeddings.dtype)
+            if shared:
+                b, p, t, c = point_embeddings.shape
+                s = image_embeddings.shape[1]
+                q = point_embeddings.reshape(b * p, t, c) + eps
+                k = jnp.broadcast_to(
+                    image_embeddings[:, None],
+                    (b, p, s, c),
+                ).reshape(b * p, s, c) + eps
+                return q, k
+            return point_embeddings + eps, image_embeddings + eps
+        patch(md.SamTwoWayTransformer, "__call__", fake_twt)
+    elif variant == "noupscale":
+        import rsprompter_tpu.models.sam.common as sam_common
+
+        def fake_upconv(self, x):
+            b, h, w, _ = x.shape
+            return jnp.zeros(
+                (b, 2 * h, 2 * w, self.features), x.dtype
+            ) + x.mean().astype(x.dtype)
+        patch(sam_common.FastConvTranspose2x2, "__call__", fake_upconv)
     elif variant == "notopk":
         def fake_top_k(operand, k):
             # timing-only: prefix slice, descending-ish order not preserved
