@@ -25,10 +25,20 @@ class FastConvTranspose2x2(nn.Module):
     badly on TPU: the upscaler measured 17.7 ms of the 56 ms 100-prompt
     decode (scripts/perf_decode_parts.py). Parameter tree (kernel/bias,
     kernel shape (2, 2, C, O)) is identical to ``nn.ConvTranspose`` so
-    checkpoints load unchanged."""
+    checkpoints load unchanged.
+
+    ``packed=True`` skips the depth-to-space interleave and returns the
+    block layout ``(b, h, w, 2, 2, O)`` (dy, dx minor). Because the taps of
+    a kernel==stride transposed conv never overlap, a following per-pixel op
+    (another 2x2 ConvTranspose, LayerNorm over channels, gelu, hypernetwork
+    product) is independent of spatial order — chains of packed upscalers
+    defer the interleave to one cheap transpose of the final 1-channel
+    output (the SAM decoder's 100-prompt upscale spent most of its time in
+    the two intermediate interleaves over (P, 2h, 2w, C/4) tensors)."""
 
     features: int
     dtype: Optional[jnp.dtype] = None
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -45,6 +55,8 @@ class FastConvTranspose2x2(nn.Module):
             x.astype(dt), kernel[::-1, ::-1].astype(dt),
             preferred_element_type=jnp.float32,
         ).astype(dt)
+        if self.packed:
+            return y + bias.astype(dt)
         # (b, h, w, 2, 2, f) -> (b, h, 2, w, 2, f) -> (b, 2h, 2w, f)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, self.features)
         return y + bias.astype(dt)

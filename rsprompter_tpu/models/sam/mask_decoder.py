@@ -295,18 +295,31 @@ class SamMaskDecoder(nn.Module):
         iou_token_out = point_emb[:, 0, :]
         mask_tokens_out = point_emb[:, 1 : 1 + num_mask_tokens, :]
 
-        # upscale image embedding 4x: (B*P, h, w, C) -> (B*P, 4h, 4w, C/8)
+        # upscale image embedding 4x in PACKED block layout: with kernel ==
+        # stride the taps never overlap, and LayerNorm/gelu/the hypernetwork
+        # product are all per-pixel — so both depth-to-space interleaves are
+        # deferred to ONE transpose of the final single-channel masks (the
+        # interleaves over (B*P, 2h, 2w, C/4) intermediates dominated the
+        # 100-prompt upscale)
         img_sp = img_emb.reshape(b * p, h, w, c)
         up = FastConvTranspose2x2(
             cfg.hidden_size // 4, dtype=self.dtype, name="upscale_conv1",
-        )(img_sp)
+            packed=True,
+        )(img_sp)  # (B*P, h, w, 2, 2, C/4) — (dy1, dx1) minor
         up = SamLayerNorm(name="upscale_layer_norm")(up)
         up = nn.gelu(up, approximate=False)
+        up = up.reshape(b * p, h, w * 4, cfg.hidden_size // 4)
         up = FastConvTranspose2x2(
             cfg.hidden_size // 8, dtype=self.dtype, name="upscale_conv2",
-        )(up)
-        up = nn.gelu(up, approximate=False)  # (B*P, 4h, 4w, C/8)
+            packed=True,
+        )(up)  # (B*P, h, w*4, 2, 2, C/8) — w axis unpacks to (w, dy1, dx1)
+        up = nn.gelu(up, approximate=False)
 
+        # only the RETURNED mask tokens go through the expensive hypernetwork
+        # product (multimask_output selects slice 1: vs 0:1 — SURVEY A.3);
+        # all hypernetwork modules still run on their tiny token inputs so
+        # the parameter tree is unchanged
+        sel = slice(1, None) if multimask_output else slice(0, 1)
         hyper_in = jnp.stack(
             [
                 SamFeedForward(
@@ -320,11 +333,20 @@ class SamMaskDecoder(nn.Module):
             ],
             axis=1,
         )  # (B*P, M, C/8)
+        m_sel = len(range(num_mask_tokens)[sel])
 
         up_flat = up.reshape(b * p, 4 * h * 4 * w, cfg.hidden_size // 8)
         masks = jnp.einsum(
-            "bmc,bsc->bms", hyper_in, up_flat, preferred_element_type=jnp.float32
-        ).reshape(b, p, num_mask_tokens, 4 * h, 4 * w)
+            "bmc,bsc->bms", hyper_in[:, sel], up_flat,
+            preferred_element_type=jnp.float32,
+        )
+        # packed pixel order: (i, j, dy1, dx1, dy2, dx2) with true position
+        # (4i + 2 dy1 + dy2, 4j + 2 dx1 + dx2) — one interleave of the final
+        # fp32 masks
+        masks = masks.reshape(b * p, m_sel, h, w, 2, 2, 2, 2)
+        masks = masks.transpose(0, 1, 2, 4, 6, 3, 5, 7).reshape(
+            b, p, m_sel, 4 * h, 4 * w
+        )
 
         iou_pred = SamFeedForward(
             hidden_dim=cfg.iou_head_hidden_dim,
@@ -334,6 +356,4 @@ class SamMaskDecoder(nn.Module):
             name="iou_prediction_head",
         )(iou_token_out).reshape(b, p, num_mask_tokens)
 
-        if multimask_output:
-            return masks[:, :, 1:], iou_pred[:, :, 1:]
-        return masks[:, :, 0:1], iou_pred[:, :, 0:1]
+        return masks, iou_pred[:, :, sel]
