@@ -70,6 +70,82 @@ class SamAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self._internal)
         return self.out_proj(out)
 
+    def _head_expansion(self, dtype):
+        """Static (nh, hd, internal) one-hot: E[h, d, h*hd+d] = 1.
+
+        Embeds per-head token projections block-diagonally into the full
+        internal width so attention against image-sized tensors runs as ONE
+        full-lane matmul per side — no (B*P, nh, S, hd) transposes of the
+        image state, and the hd=16 contraction (128/8 heads) never touches
+        the MXU (it rides the one-hot embed on tiny token tensors instead).
+        """
+        import numpy as np
+
+        nh, hd = self._nh, self._hd
+        e = np.zeros((nh, hd, nh * hd), np.float32)
+        for h_ in range(nh):
+            e[h_, np.arange(hd), h_ * hd + np.arange(hd)] = 1.0
+        return jnp.asarray(e, dtype)
+
+    def tokens_to_image_blockdiag(self, q_tok, img_k, img_v):
+        """Token-queries-image attention without per-head image transposes.
+
+        q_tok: (N, T, C); img_k/img_v: (N, S, C). Returns (N, T, C).
+        Identical math to ``__call__`` (same per-head contractions, fp32
+        accumulation); the per-head structure is expressed by embedding the
+        T token queries block-diagonally as (N, T*nh, internal) so scores
+        come from one (N, S, internal) x (N, T*nh, internal) contraction.
+        """
+        nh, hd = self._nh, self._hd
+        n, t, _ = q_tok.shape
+        q = self.q_proj(q_tok)  # (N, T, internal)
+        k = self.k_proj(img_k)  # (N, S, internal)
+        v = self.v_proj(img_v)
+        e = self._head_expansion(q.dtype)
+        q_exp = jnp.einsum(
+            "nthd,hdc->nthc", q.reshape(n, t, nh, hd), e
+        ).reshape(n, t * nh, self._internal)
+        scores = jnp.einsum(
+            "nsc,nqc->nsq", k, q_exp, preferred_element_type=jnp.float32
+        ) / (hd ** 0.5)  # (N, S, T*nh)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=1).astype(v.dtype)
+        out_full = jnp.einsum(
+            "nsq,nsc->nqc", probs, v, preferred_element_type=jnp.float32
+        ).astype(v.dtype)  # (N, T*nh, internal)
+        out = jnp.einsum(
+            "nthc,hdc->nthd", out_full.reshape(n, t, nh, self._internal), e
+        ).reshape(n, t, self._internal)
+        return self.out_proj(out)
+
+    def image_to_tokens_blockdiag(self, img_q, tok_k, tok_v):
+        """Image-queries-tokens attention without per-head image transposes.
+
+        img_q: (N, S, C); tok_k/tok_v: (N, T, C). Returns (N, S, C).
+        """
+        nh, hd = self._nh, self._hd
+        n, t, _ = tok_k.shape
+        q = self.q_proj(img_q)  # (N, S, internal)
+        k = self.k_proj(tok_k)  # (N, T, internal)
+        v = self.v_proj(tok_v)
+        e = self._head_expansion(q.dtype)
+        k_exp = jnp.einsum(
+            "nthd,hdc->nthc", k.reshape(n, t, nh, hd), e
+        ).reshape(n, t * nh, self._internal)
+        v_exp = jnp.einsum(
+            "nthd,hdc->nthc", v.reshape(n, t, nh, hd), e
+        ).reshape(n, t * nh, self._internal)
+        scores = jnp.einsum(
+            "nsc,nqc->nsq", q, k_exp, preferred_element_type=jnp.float32
+        ) / (hd ** 0.5)  # (N, S, T*nh), minor axis ordered (t, h)
+        s_len = img_q.shape[1]
+        probs = jax.nn.softmax(
+            scores.reshape(n, s_len, t, nh).astype(jnp.float32), axis=2
+        ).reshape(n, s_len, t * nh).astype(v.dtype)
+        out = jnp.einsum(
+            "nsq,nqc->nsc", probs, v_exp, preferred_element_type=jnp.float32
+        ).astype(v.dtype)  # (N, S, internal) — zeros off-block make it exact
+        return self.out_proj(out)
+
     def image_to_tokens_shared(self, img_q, tok_k, tok_v):
         """Image->token attention with the IMAGE side shared across prompts.
 
@@ -124,10 +200,13 @@ class SamTwoWayAttentionBlock(nn.Module):
             queries = queries + self.self_attn(q, q, queries)
         queries = self.layer_norm1(queries)
 
-        # (2) token -> image cross-attention
+        # (2) token -> image cross-attention (block-diagonal head packing:
+        # the image tensors never transpose per head)
         q = queries + query_pe
         k = keys + key_pe
-        queries = queries + self.cross_attn_token_to_image(q, k, keys)
+        queries = queries + self.cross_attn_token_to_image.tokens_to_image_blockdiag(
+            q, k, keys
+        )
         queries = self.layer_norm2(queries)
 
         # (3) MLP on tokens
@@ -137,7 +216,9 @@ class SamTwoWayAttentionBlock(nn.Module):
         # (4) image -> token cross-attention
         q = queries + query_pe
         k = keys + key_pe
-        attn_out = self.cross_attn_image_to_token(k, q, queries)
+        attn_out = self.cross_attn_image_to_token.image_to_tokens_blockdiag(
+            k, q, queries
+        )
         keys = keys + attn_out
         keys = self.layer_norm4(keys)
         return queries, keys
@@ -221,7 +302,7 @@ class SamTwoWayTransformer(nn.Module):
         attn_out = SamAttention(
             cfg, cfg.attention_downsample_rate, self.dtype,
             name="final_attn_token_to_image",
-        )(q, k, keys)
+        ).tokens_to_image_blockdiag(q, k, keys)
         queries = queries + attn_out
         queries = SamLayerNorm(eps=1e-5, name="layer_norm_final_attn")(queries)
         return queries, keys

@@ -32,21 +32,39 @@ def grid_sample_nhwc(
     wy1 = y - y0
     wx0, wy0 = 1.0 - wx1, 1.0 - wy1
 
-    def gather(yi, xi):
+    # one linear-index row take for all four bilinear corners: the previous
+    # three-axis fancy index img[b, y, x] scalarized in XLA (the same
+    # pathology as the RoIAlign gather — see roi_extractor.py); folding
+    # batch into the row index hits the fast embedding-lookup gather
+    bsz = img.shape[0]
+    p = grid.shape[1]
+    c = img.shape[-1]
+    flat = img.reshape(bsz * h * w, c)
+    base = (jnp.arange(bsz) * (h * w))[:, None]
+
+    def corner(yi, xi):
         inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        b = jnp.arange(img.shape[0])[:, None]
-        vals = img[b, yc, xc]
-        return jnp.where(inside[..., None], vals, 0.0)
+        return base + yc * w + xc, inside
 
-    out = (
-        gather(y0, x0) * (wy0 * wx0)[..., None]
-        + gather(y0, x1) * (wy0 * wx1)[..., None]
-        + gather(y1, x0) * (wy1 * wx0)[..., None]
-        + gather(y1, x1) * (wy1 * wx1)[..., None]
-    )
-    return out
+    i00, m00 = corner(y0, x0)
+    i01, m01 = corner(y0, x1)
+    i10, m10 = corner(y1, x0)
+    i11, m11 = corner(y1, x1)
+    idx4 = jnp.concatenate([i00, i01, i10, i11], axis=1)  # (B, 4P)
+    v4 = jnp.take(flat, idx4.reshape(-1), axis=0).reshape(bsz, 4, p, c)
+    w4 = jnp.stack(
+        [
+            wy0 * wx0 * m00,
+            wy0 * wx1 * m01,
+            wy1 * wx0 * m10,
+            wy1 * wx1 * m11,
+        ],
+        axis=1,
+    )  # (B, 4, P)
+    # w4 stays fp32, matching the previous fp32 weighting/accumulation
+    return (v4 * w4[..., None]).sum(axis=1)
 
 
 def point_sample(img: jax.Array, points: jax.Array, align_corners: bool = False):
