@@ -92,8 +92,20 @@ def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=1e-6):
     return _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
 
 
-def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block=128):
+def _block_env(name: str, default: int) -> int:
+    """Trace-time block-size override for on-chip in-context A/Bs
+    (isolated microbench sweeps rank block sizes differently than the
+    composed encoder — only the in-context numbers decide defaults)."""
+    import os
+
+    v = os.environ.get(name, "")
+    return int(v) if v.isdigit() else default
+
+
+def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block=None):
     # block sweep on chip @ViT-B bs8: 128 -> 1.84 ms, 256 -> 2.24, 512 -> 2.16
+    if block is None:
+        block = _block_env("RSPROMPTER_MLP_BLOCK", 128)
     t, c = x.shape
     m = w1.shape[1]
     interpret = jax.devices()[0].platform == "cpu"
@@ -229,8 +241,10 @@ def fused_ln_qkv(x, ln_scale, ln_bias, w, b, eps, heads3, batch):
     return _ln_qkv_fwd(x, ln_scale, ln_bias, w, b, eps, heads3, batch)
 
 
-def _ln_qkv_fwd(x, ln_scale, ln_bias, w, b, eps, heads3, batch, block=1024):
+def _ln_qkv_fwd(x, ln_scale, ln_bias, w, b, eps, heads3, batch, block=None):
     # block sweep on chip @ViT-B bs8: 1024 -> 0.73 ms, 256 -> 0.80, 512 -> 1.04
+    if block is None:
+        block = _block_env("RSPROMPTER_LNQKV_BLOCK", 1024)
     t, c = x.shape
     s = t // batch
     interpret = jax.devices()[0].platform == "cpu"

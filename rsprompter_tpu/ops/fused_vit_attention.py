@@ -118,12 +118,18 @@ def rel_factors_pair(
     rel_pos_h: jax.Array,
     rel_pos_w: jax.Array,
     hw: Tuple[int, int],
+    direct: bool = False,
 ) -> jax.Array:
     """Factors for PAIR-PACKED heads: (B, n/2, S, 4L), L = max(h, w), laid
     out ``[h_a pad L | w_a pad L | h_b pad L | w_b pad L]`` (flipped-j order
     like :func:`rel_factors`), i.e. each head's 2L half is contiguous so the
     global kernel lane-slices at the aligned 2L boundary and reuses the
     per-head expansion matrix.
+
+    ``direct=True`` emits UNFLIPPED columns instead (entry j holds the factor
+    for key row/col j: ``fh[q, kr] = q . T[(qr - kr) + h - 1]``) — the layout
+    the k-tiled global kernel consumes, where the bias is built per key tile
+    by lane broadcasts rather than an expansion matmul.
 
     The contraction runs at lane width 128 against block-diagonal tables —
     measured ~4-8x cheaper on chip than the 64-lane per-head einsum (the
@@ -136,8 +142,12 @@ def rel_factors_pair(
     th = _resize_table(rel_pos_h, 2 * h - 1).astype(q_pair.dtype)
     tw = _resize_table(rel_pos_w, 2 * w - 1).astype(q_pair.dtype)
     lmax = max(h, w)
-    idx_h = jnp.arange(h)[:, None] + jnp.arange(h)[None, :]
-    idx_w = jnp.arange(w)[:, None] + jnp.arange(w)[None, :]
+    if direct:
+        idx_h = jnp.arange(h)[:, None] - jnp.arange(h)[None, :] + (h - 1)
+        idx_w = jnp.arange(w)[:, None] - jnp.arange(w)[None, :] + (w - 1)
+    else:
+        idx_h = jnp.arange(h)[:, None] + jnp.arange(h)[None, :]
+        idx_w = jnp.arange(w)[:, None] + jnp.arange(w)[None, :]
     th_g = th[idx_h]  # (h, h, d)
     tw_g = tw[idx_w]  # (w, w, d)
 
@@ -459,6 +469,75 @@ def _global_kernel_pair(
     o_ref[0, 0] = jnp.concatenate(outs, axis=-1)
 
 
+def _global_kernel_pair_tiled(
+    q_ref, k_ref, v_ref, f_ref, o_ref, *, scale, d, lmax, h, w
+):
+    """Clamp-mode global attention, k-tiled (128-key tiles = ``128//w`` key
+    rows). Two structural savings over :func:`_global_kernel_pair`, both
+    measured MXU-pass-bound there (384 passes/cell-half; QK, bias expansion
+    and PV each 128):
+
+    - the rel-pos bias is built on the VPU per tile — ``fw`` repeats
+      lane-periodically (one concat per half) and ``fh`` is a lane broadcast
+      per key row (one select per extra row) — so the K=128 bias-expansion
+      matmul disappears;
+    - the softmax denominator rides a ones-column appended to v (N=65 pads
+      to the same 128-lane tile), so the scores-wide VPU reduce disappears.
+
+    256 MXU passes/cell-half. ``scale`` folds into q exactly (d=64 ->
+    scale=0.125, a power of two — bit-exact in bf16). Clamp-mode only; the
+    safe (running-max) path stays on the full-scores kernel.
+    """
+    qp = q_ref[0, 0]  # (bq, 2d)
+    kp = k_ref[0, 0]  # (s, 2d)
+    vp = v_ref[0, 0]
+    fp = f_ref[0, 0]  # (bq, 4L) DIRECT factors [h_a|w_a|h_b|w_b]
+    s = kp.shape[0]
+    bq = qp.shape[0]
+    bk = 128
+    r = bk // w  # key rows per tile
+    grp = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) // w
+    outs = []
+    for half in range(2):
+        sl = slice(half * d, (half + 1) * d)
+        q = qp[:, sl] * jnp.asarray(scale, qp.dtype)
+        k = kp[:, sl]
+        f0 = half * 2 * lmax
+        fh = fp[:, f0 : f0 + h].astype(jnp.float32)
+        fw = fp[:, f0 + lmax : f0 + lmax + w].astype(jnp.float32)
+        fw_rep = jnp.concatenate([fw] * r, axis=1)  # (bq, bk)
+        v_aug = jnp.concatenate(
+            [vp[:, sl], jnp.ones((s, 1), vp.dtype)], axis=1
+        )  # (s, d+1): ones column -> denominator from the PV matmul
+        acc = jnp.zeros((bq, d + 1), jnp.float32)
+        for j in range(s // bk):
+            kt = k[j * bk : (j + 1) * bk]
+            st = jax.lax.dot_general(
+                q, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            bias = fh[:, j * r : j * r + 1]
+            for i in range(1, r):
+                bias = jnp.where(grp >= i, fh[:, j * r + i : j * r + i + 1], bias)
+            st = jnp.clip(st + (bias + fw_rep), -60.0, 60.0)
+            p = jnp.exp2(st * LOG2E).astype(vp.dtype)
+            acc = acc + jax.lax.dot(
+                p, v_aug[j * bk : (j + 1) * bk],
+                preferred_element_type=jnp.float32,
+            )
+        outs.append((acc[:, :d] / acc[:, d:]).astype(o_ref.dtype))
+    o_ref[0, 0] = jnp.concatenate(outs, axis=-1)
+
+
+def _global_attn_mode() -> str:
+    """RSPROMPTER_GLOBAL_ATTN: 'tiled' (default) | 'full' — A/B gate for the
+    k-tiled clamp-mode global kernel vs the full-scores kernel (trace-time)."""
+    import os
+
+    v = os.environ.get("RSPROMPTER_GLOBAL_ATTN", "tiled")
+    return v if v in ("tiled", "full") else "tiled"
+
+
 def _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw, safe=False, block_q=512):
     """qkv_pair: (B, 3n/2, S, 2d) lane-packed. Returns (B, n/2, S, 2d)."""
     h, w = hw
@@ -469,11 +548,21 @@ def _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw, safe=False, block_q=512):
     assert d == HEAD_DIM and s == h * w
     scale = d ** -0.5
 
+    interpret = _interpret()
+    tiled = (
+        s > 512
+        and not safe
+        and _global_attn_mode() == "tiled"
+        and w <= 128
+        and 128 % w == 0
+        and s % 128 == 0
+    )
     if rel_pos_h is not None:
-        factors = rel_factors_pair(qkv_pair[:, :np_], rel_pos_h, rel_pos_w, hw)
+        factors = rel_factors_pair(
+            qkv_pair[:, :np_], rel_pos_h, rel_pos_w, hw, direct=tiled
+        )
     else:
         factors = jnp.zeros((b, np_, s, 4 * lmax), qkv_pair.dtype)
-    interpret = _interpret()
 
     if s <= 512:
         e_a, e_b = _pair_expansions(hw, qkv_pair.dtype)
@@ -501,6 +590,27 @@ def _pair_fwd(qkv_pair, rel_pos_h, rel_pos_w, hw, safe=False, block_q=512):
     bq = block_q
     while s % bq:
         bq //= 2
+    if tiled:
+        kernel = functools.partial(
+            _global_kernel_pair_tiled, scale=scale, d=d, lmax=lmax, h=h, w=w
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, np_, s, d2), qkv_pair.dtype),
+            grid=(b, np_, s // bq),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, d2), lambda b_, p, i: (b_, p, i, 0)),
+                pl.BlockSpec((1, 1, s, d2), lambda b_, p, i: (b_, np_ + p, 0, 0)),
+                pl.BlockSpec((1, 1, s, d2), lambda b_, p, i: (b_, 2 * np_ + p, 0, 0)),
+                pl.BlockSpec((1, 1, bq, 4 * lmax), lambda b_, p, i: (b_, p, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, d2), lambda b_, p, i: (b_, p, i, 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(qkv_pair, qkv_pair, qkv_pair, factors)
     e = _expansion_matrix(hw, qkv_pair.dtype)
     kernel = functools.partial(
         _global_kernel_pair, scale=scale, d=d, lmax=lmax, safe=safe
