@@ -242,9 +242,12 @@ def fused_ln_qkv(x, ln_scale, ln_bias, w, b, eps, heads3, batch):
 
 
 def _ln_qkv_fwd(x, ln_scale, ln_bias, w, b, eps, heads3, batch, block=None):
-    # block sweep on chip @ViT-B bs8: 1024 -> 0.73 ms, 256 -> 0.80, 512 -> 1.04
+    # block sweep on chip @ViT-B bs8 (after the k-tiled global attention
+    # landed; the optimum moved): 512 -> 0.41 ms, 256 -> 0.94, 1024 -> 0.93,
+    # 2048 -> 1.10; full-encoder A/B confirms 512 (80.31 vs 80.53 ms/fwd).
+    # Pre-k-tiled sweep had 1024 -> 0.73, 512 -> 1.04.
     if block is None:
-        block = _block_env("RSPROMPTER_LNQKV_BLOCK", 1024)
+        block = _block_env("RSPROMPTER_LNQKV_BLOCK", 512)
     t, c = x.shape
     s = t // batch
     interpret = jax.devices()[0].platform == "cpu"

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B = 8
+B = int(os.environ.get("RSPROMPTER_PROBE_BS", "8"))
 IMG = 1024
 GRID = 64
 C = 768
