@@ -57,22 +57,36 @@ def _lsa_host_batched(cost: np.ndarray, gt_valid: np.ndarray) -> np.ndarray:
 
 
 def hungarian_match_batched(cost: jax.Array, gt_valid: jax.Array) -> jax.Array:
-    """Batched matching: ONE host round-trip on CPU, ON-DEVICE auction on TPU.
+    """Batched matching: scipy host round-trip on single-device CPU,
+    ON-DEVICE auction everywhere else.
 
     cost (..., Q, G), gt_valid (..., G) -> (..., G). The query head stacks
     every decoder layer's cost matrix and calls this once per forward.
 
-    Platform dispatch: the axon TPU backend does not implement host
-    callbacks at all (``UNIMPLEMENTED: axon_pjrt does not support host
-    send/recv callbacks``), so on non-CPU platforms the assignment runs as
-    an epsilon-scaled auction entirely on device (:func:`auction_match`) —
-    optimal to within G*eps_final of the Hungarian optimum (ties may
-    resolve differently from scipy; CPU keeps the exact callback so parity
-    tests compare bit-for-bit). Reference cost anchor: per-image scipy at
-    mmdet/rsprompter/models.py:555.
+    Dispatch (trace-time, on device topology):
+
+    * **single-device CPU** — ONE ``pure_callback`` into scipy: exact
+      Hungarian, bit-for-bit comparable against the reference's per-image
+      scipy (mmdet/rsprompter/models.py:555) in parity tests.
+    * **TPU** — the axon backend does not implement host callbacks at all
+      (``UNIMPLEMENTED: axon_pjrt does not support host send/recv
+      callbacks``); the assignment runs as an epsilon-scaled auction
+      entirely on device (:func:`auction_match`), optimal to within
+      G*eps of the Hungarian optimum.
+    * **any multi-device mesh (CPU included)** — also the auction: a
+      ``pure_callback`` output is placed ``{maximal device=0}``, which
+      forces XLA SPMD into an "involuntary full rematerialization"
+      (replicate-then-repartition) of everything downstream in
+      ``RSPrompterQuery.loss`` — a real-mesh perf hazard on the hot loss
+      path AND a slow-compile contributor. The auction is pure JAX
+      (vmapped ``while_loop``), so the batch axis stays sharded on 'data'
+      and the sharded loss exercises the SAME code path as real TPU
+      meshes. scipy-vs-auction agreement is pinned by
+      ``tests/test_task_modules.py::test_auction_match_reaches_hungarian_optimum``.
     """
     *lead, q, g = cost.shape
-    if jax.devices()[0].platform == "cpu":
+    devs = jax.devices()
+    if devs[0].platform == "cpu" and len(devs) == 1:
         n = int(np.prod(lead)) if lead else 1
         out = jax.pure_callback(
             _lsa_host_batched,
@@ -82,11 +96,13 @@ def hungarian_match_batched(cost: jax.Array, gt_valid: jax.Array) -> jax.Array:
             vmap_method="sequential",
         )
         return out.reshape(*lead, g)
-    n = int(np.prod(lead)) if lead else 1
-    out = jax.vmap(auction_match)(
-        cost.astype(jnp.float32).reshape(n, q, g), gt_valid.reshape(n, g)
-    )
-    return out.reshape(*lead, g)
+    # nested vmap over the leading axes (no reshape: a (L, B, Q, G) stack
+    # with B sharded on 'data' keeps its sharding through vmap, while a
+    # merge-reshape of (L, B) would drop it)
+    fn = auction_match
+    for _ in lead:
+        fn = jax.vmap(fn)
+    return fn(cost.astype(jnp.float32), gt_valid)
 
 
 def auction_match(

@@ -1,18 +1,27 @@
-"""The driver's multi-chip contract, as a test: ``dryrun_multichip(8)`` must
-run BOTH detector families' sharded paths on a virtual 8-device mesh —
-the anchor family's full DP4xTP2+ZeRO train step, and the query family's
-train step (Hungarian matching via ``jax.pure_callback`` on the CPU
-platform, under the sharded jit) + sharded predict, with the sharded query
-loss asserted equal to the single-device value inside the dryrun itself.
+"""The driver's multi-chip contract, as tests.
+
+``dryrun_multichip(8)`` must run BOTH detector families' full sharded train
+steps (DP4xTP2+ZeRO) on a virtual 8-device mesh within the driver's time
+budget; it asserts each family's sharded loss against the committed
+single-device goldens (``__graft_entry__.GOLDEN_LOSS``). The LIVE
+single-device-vs-sharded cross-checks and the sharded query predict — too
+compile-expensive for the driver budget (round-4 regression: rc=124 at
+932 s) — run here instead, in-process on the conftest's 8-device mesh.
 """
 
 import os
 import subprocess
 import sys
+import time
 
+import numpy as np
 import pytest
 
+import jax
+import jax.numpy as jnp
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 @pytest.mark.slow
@@ -26,14 +35,115 @@ def test_dryrun_multichip_both_families():
         "import __graft_entry__ as g\n"
         "g.dryrun_multichip(8)\n"
     )
+    t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "-c", code],
         cwd=REPO,
         capture_output=True,
         text=True,
-        timeout=1500,
+        timeout=540,  # driver budget guard: round 4 regressed to 932 s
         env=dict(os.environ, JAX_PLATFORMS="cpu"),
     )
+    wall = time.time() - t0
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multichip OK (anchor)" in proc.stdout, proc.stdout[-2000:]
     assert "dryrun_multichip OK (query)" in proc.stdout, proc.stdout[-2000:]
+    print(f"dryrun wall: {wall:.0f}s")
+
+
+def _family_losses(model, batch, mesh):
+    """(single_device_loss, sharded_loss) for one family on ``mesh``."""
+    from rsprompter_tpu.engine.optim import build_optimizer
+    from rsprompter_tpu.engine.train_state import (
+        TrainState,
+        make_sharded_train_step,
+        make_train_step,
+    )
+    from rsprompter_tpu.parallel.mesh import DEFAULT_TP_RULES
+
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, jax.random.PRNGKey(1),
+        method="loss",
+    ))()
+    tx, _ = build_optimizer(
+        variables["params"], base_lr=1e-4, total_steps=100,
+        freeze_paths=["backbone", "shared_image_embedding", "mask_decoder",
+                      "no_mask_embed"],
+    )
+    state = TrainState.create(variables["params"], variables.get("batch_stats"), tx)
+    _, metrics_1dev = make_train_step(model, tx, donate=False)(
+        state, batch, jax.random.PRNGKey(2)
+    )
+    loss_1dev = float(metrics_1dev["loss"])
+
+    state = TrainState.create(variables["params"], variables.get("batch_stats"), tx)
+    step, sharded_state = make_sharded_train_step(
+        model, tx, mesh, state, batch, tp_rules=DEFAULT_TP_RULES, zero=True
+    )
+    _, metrics = step(sharded_state, batch, jax.random.PRNGKey(2))
+    return loss_1dev, float(metrics["loss"])
+
+
+@pytest.mark.slow
+def test_anchor_sharded_loss_matches_single_device_and_golden():
+    """The live version of the dryrun's anchor golden assertion: a fresh
+    single-device step must equal the DP4xTP2+ZeRO sharded step, and both
+    must equal the committed GOLDEN_LOSS (else the golden is stale)."""
+    import __graft_entry__ as graft
+    from rsprompter_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    _, anchor, _, batch = graft.dryrun_models(4)
+    loss_1dev, loss_sharded = _family_losses(anchor, batch, mesh)
+    assert np.isfinite(loss_1dev) and np.isfinite(loss_sharded)
+    assert abs(loss_sharded - loss_1dev) <= 2e-3 * max(1.0, abs(loss_1dev))
+    golden = graft.GOLDEN_LOSS["anchor"]
+    if golden is not None:
+        assert abs(loss_1dev - golden) <= 2e-3 * max(1.0, abs(golden)), (
+            f"single-device anchor loss {loss_1dev} drifted from the "
+            f"committed golden {golden}: regenerate with "
+            "scripts/time_dryrun.py single"
+        )
+
+
+@pytest.mark.slow
+def test_query_sharded_loss_matches_single_device_and_golden():
+    """Same contract for the query family (Hungarian matching runs as the
+    on-device auction under any multi-device topology — the TPU path)."""
+    import __graft_entry__ as graft
+    from rsprompter_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    _, _, query, batch = graft.dryrun_models(4)
+    loss_1dev, loss_sharded = _family_losses(query, batch, mesh)
+    assert np.isfinite(loss_1dev) and np.isfinite(loss_sharded)
+    assert abs(loss_sharded - loss_1dev) <= 2e-3 * max(1.0, abs(loss_1dev))
+    golden = graft.GOLDEN_LOSS["query"]
+    if golden is not None:
+        assert abs(loss_1dev - golden) <= 2e-3 * max(1.0, abs(golden)), (
+            f"single-device query loss {loss_1dev} drifted from the "
+            f"committed golden {golden}: regenerate with "
+            "scripts/time_dryrun.py single"
+        )
+
+
+@pytest.mark.slow
+def test_query_sharded_predict():
+    """Sharded (DP4xTP2) query predict on the mesh — moved out of the dry
+    run (one whole extra XLA compile) into the suite."""
+    import __graft_entry__ as graft
+    from rsprompter_tpu.engine.train_state import make_sharded_predict
+    from rsprompter_tpu.parallel.mesh import DEFAULT_TP_RULES, make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    _, _, query, batch = graft.dryrun_models(4)
+    variables = jax.jit(lambda: query.init(
+        {"params": jax.random.PRNGKey(0)}, batch, jax.random.PRNGKey(1),
+        method="loss",
+    ))()
+    predict, sharded_vars = make_sharded_predict(
+        query, mesh, variables, batch, tp_rules=DEFAULT_TP_RULES
+    )
+    dets, masks = predict(sharded_vars, batch)
+    assert bool(jnp.isfinite(masks).all()), "non-finite query predict masks"
+    assert "data" in str(dets.boxes.sharding.spec)
