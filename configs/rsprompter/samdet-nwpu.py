@@ -15,7 +15,7 @@ model = dict(
     ),
     test_cfg=dict(
         rpn=dict(nms_pre=1000, max_per_img=1000, pre_nms_total=2000),
-        rcnn=dict(score_thr=0.05, nms_iou_thr=0.5, max_per_img=100,
+        rcnn=dict(score_thr=0.05, nms_iou_thr=0.5, max_per_img=100, nms_pre=2000,
                   mask_thr_binary=0.5),
         oracle_on=False,
     ),

@@ -132,9 +132,11 @@ def bbox_head_predict_single(
     # top `nms_pre` by score changes nothing unless more than nms_pre
     # candidates clear score_thr AND one ranked below the cut survives into
     # the top max_per_img — which would need >nms_pre-max_per_img mutually
-    # suppressing higher-scored boxes. `nms_pre=0` disables the prefilter
-    # (exact mode, reference semantics: mmcv multiclass_nms has no cap).
-    nms_pre = cfg.get("nms_pre", 2000)
+    # suppressing higher-scored boxes. Default 0 = exact mode (reference
+    # semantics: mmcv multiclass_nms has no cap); the shipped configs opt in
+    # with rcnn nms_pre=2000 (ADVICE r4: the prefilter is a config decision,
+    # not a silent code default).
+    nms_pre = cfg.get("nms_pre", 0)
     if nms_pre and flat_scores.shape[0] > nms_pre:
         neg_inf = jnp.asarray(-jnp.inf, flat_scores.dtype)
         ranked = jnp.where(flat_valid, flat_scores, neg_inf)
