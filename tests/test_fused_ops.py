@@ -385,6 +385,48 @@ def test_pair_packed_window_attention_matches_xla(hw, heads):
     np.testing.assert_allclose(np.asarray(g_pair[1]), np.asarray(g_ref[1]), atol=2e-5)
 
 
+@pytest.mark.parametrize("hw,attn_mode,lse_mode", [
+    ((32, 32), "tiled", ""),     # k-tiled global kernel (the default)
+    ((32, 32), "full", ""),      # full-scores global kernel, VPU denominator
+    ((32, 32), "full", "dot"),   # full global, MXU denominator via ones-dot
+    ((32, 32), "full", "concat"),  # full global, denominator folded into PV
+    ((8, 8), "tiled", "dot"),    # window kernel with each MXU-LSE mode
+    ((8, 8), "tiled", "concat"),
+])
+def test_attention_env_modes_parity(monkeypatch, hw, attn_mode, lse_mode):
+    """Every RSPROMPTER_GLOBAL_ATTN x RSPROMPTER_MXU_LSE combination must
+    match the XLA reference (ADVICE r4: when 'tiled' became the default, the
+    full-scores global kernel and the MXU-LSE modes fell out of coverage).
+
+    Both gates are read at TRACE time (``_global_attn_mode`` /
+    ``_mxu_denominator_mode``): a jitted caller compiled under one setting
+    keeps it for the life of the compile cache entry and silently ignores
+    later env changes — these eager calls re-trace, so each combination
+    genuinely dispatches its kernel."""
+    from rsprompter_tpu.ops.fused_vit_attention import (
+        _pack_pairs,
+        _unpack_pairs,
+        fused_qkv_attention_pair,
+    )
+
+    monkeypatch.setenv("RSPROMPTER_GLOBAL_ATTN", attn_mode)
+    monkeypatch.setenv("RSPROMPTER_MXU_LSE", lse_mode)
+    h, w = hw
+    s = h * w
+    heads = 2
+    qkv = _rand(0, (1, 3 * heads, s, 64))
+    th = _rand(1, (2 * h - 1, 64), 0.2)
+    tw = _rand(2, (2 * w - 1, 64), 0.2)
+    out = _unpack_pairs(
+        fused_qkv_attention_pair(_pack_pairs(qkv), th, tw, hw)
+    )
+    ref = attention_rel_pos(
+        qkv[:, :heads], qkv[:, heads : 2 * heads], qkv[:, 2 * heads :],
+        hw, th, tw, impl="xla",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 @pytest.mark.parametrize("pair", [False, True])
 def test_safe_softmax_out_of_range_logits(pair):
     """|logits| >> 60 (from-scratch ViT instability regime): safe=True must
