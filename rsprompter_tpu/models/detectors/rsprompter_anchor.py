@@ -207,3 +207,26 @@ class RSPrompterAnchor(nn.Module):
             image_embeddings, image_pe,
         )
         return dets, mask_probs
+
+    def tensor(self, batch: Dict[str, jax.Array]):
+        """``mode='tensor'`` of the reference 3-mode forward contract
+        (``mmdet/models/detectors/base.py:59-99`` -> ``two_stage.py
+        _forward``): per-level RPN scores/deltas, then RAW RoI head outputs
+        on the NMS'd proposals — no box decode, no score threshold, no mask
+        postprocess. Feeds flops counting / graph export."""
+        feats, image_embeddings, image_pe = self.extract_feat(
+            batch["images"], train=False
+        )
+        cls_scores, bbox_preds = self.rpn_head(feats)
+        featmap_sizes = [f.shape[1:3] for f in feats]
+        level_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
+        test_cfg = dict(self.test_cfg or {})
+        rpn_cfg = dict(nms_pre=1000, max_per_img=1000, nms_iou_thr=0.7)
+        rpn_cfg.update(test_cfg.get("rpn", {}))
+        proposals = rpn_predict(
+            cls_scores, bbox_preds, level_anchors, batch["img_shape"], rpn_cfg
+        )
+        roi_out = self.roi_head.tensor(
+            feats, proposals.boxes, image_embeddings, image_pe
+        )
+        return (tuple(cls_scores), tuple(bbox_preds)) + roi_out

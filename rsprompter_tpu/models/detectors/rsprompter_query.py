@@ -177,6 +177,20 @@ class RSPrompterQuery(nn.Module):
         dets, mask_probs = jax.vmap(per_image)(cls_pred, mask_pred)
         return dets, mask_probs
 
+    def tensor(self, batch: Dict[str, jax.Array]):
+        """``mode='tensor'`` of the reference 3-mode forward contract
+        (``base.py:59-99`` -> ``maskformer.py _forward``): every decoder
+        layer's raw class logits and mask logits, no fusion-head
+        postprocess. Returns (cls_list, mask_list) tuples, one entry per
+        decoder layer (+1 for the pre-decoder head)."""
+        feats, image_embeddings, image_pe = self.extract_feat(
+            batch["images"], train=False
+        )
+        cls_list, mask_list, _, _ = self.panoptic_head(
+            feats, image_embeddings, image_pe
+        )
+        return tuple(cls_list), tuple(mask_list)
+
 
 class SAMSegMask2Former(RSPrompterQuery):
     """Stock Mask2Former head on SAM features (reference ``models.py:1248``)."""

@@ -145,6 +145,24 @@ class SAMDet(nn.Module):
         mask_probs = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
         return dets, mask_probs
 
+    def tensor(self, batch: Dict[str, jax.Array]):
+        """``mode='tensor'`` raw-outputs contract for the trainable
+        detector half (the reference's SAMDet inherits the 3-mode dispatch
+        from ``base.py:59-99``; its frozen segmentor has no tensor path):
+        per-level RPN scores/deltas + raw RoI bbox head outputs."""
+        feats = self._detector_feats(batch["images"])
+        cls_scores, bbox_preds = self.rpn_head(feats)
+        featmap_sizes = [f.shape[1:3] for f in feats]
+        level_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
+        test_cfg = dict(self.test_cfg or {})
+        rpn_cfg = dict(nms_pre=1000, max_per_img=1000, nms_iou_thr=0.7)
+        rpn_cfg.update(test_cfg.get("rpn", {}))
+        proposals = rpn_predict(
+            cls_scores, bbox_preds, level_anchors, batch["img_shape"], rpn_cfg
+        )
+        roi_out = self.roi_head.tensor(feats, proposals.boxes)
+        return (tuple(cls_scores), tuple(bbox_preds)) + roi_out
+
     def oracle_predict(self, batch: Dict[str, jax.Array]):
         """GT boxes as prompts, score 1 — the paper's SAM upper bound."""
         from rsprompter_tpu.models.roi_heads.bbox_head import DetResult

@@ -172,3 +172,20 @@ class SAMSegMaskRCNN(nn.Module):
             feats, proposals.boxes, proposals.valid, batch["img_shape"]
         )
         return dets, mask_probs
+
+    def tensor(self, batch: Dict[str, jax.Array]):
+        """``mode='tensor'`` raw-outputs contract (reference
+        ``base.py:59-99`` -> ``two_stage.py _forward``): per-level RPN
+        scores/deltas + raw RoI head outputs on the NMS'd proposals."""
+        feats = self.extract_feat(batch["images"], train=False)
+        cls_scores, bbox_preds = self.rpn_head(feats)
+        featmap_sizes = [f.shape[1:3] for f in feats]
+        level_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
+        test_cfg = dict(self.test_cfg or {})
+        rpn_cfg = dict(nms_pre=1000, max_per_img=1000, nms_iou_thr=0.7)
+        rpn_cfg.update(test_cfg.get("rpn", {}))
+        proposals = rpn_predict(
+            cls_scores, bbox_preds, level_anchors, batch["img_shape"], rpn_cfg
+        )
+        roi_out = self.roi_head.tensor(feats, proposals.boxes)
+        return (tuple(cls_scores), tuple(bbox_preds)) + roi_out

@@ -187,6 +187,34 @@ class RSPrompterAnchorRoIPromptHead(nn.Module):
         )
         return losses
 
+    def tensor(
+        self,
+        feats: Sequence[jax.Array],
+        proposals: jax.Array,
+        image_embeddings: jax.Array,
+        image_pe: jax.Array,
+    ):
+        """Raw head outputs, no decode/NMS — the ``mode='tensor'`` branch of
+        the reference's 3-mode forward contract (``base.py:59-99``): bbox
+        head on all proposals, the SAM-prompter mask branch on the first
+        ``num_mask_slots`` proposals. Returns (cls_logits (B, N, C+1),
+        bbox_deltas (B, N, 4C), mask_logits (B, M, S, S), iou (B, M))."""
+        feats = self._maybe_add_pe(feats)
+        b, n, _ = proposals.shape
+        rois = boxes_to_rois(proposals)
+        bbox_feats = extract_roi_feats(
+            feats[: len(self.featmap_strides)], rois,
+            (self.bbox_roi_size, self.bbox_roi_size), self.featmap_strides,
+            sampling_ratio=self.roi_sampling_ratio,
+        )
+        cls_logits, bbox_deltas = self.bbox_head(bbox_feats)
+        m = min(n, self.num_mask_slots)
+        mask_logits, iou = self._mask_forward(
+            feats, proposals[:, :m], image_embeddings, image_pe, train=False
+        )
+        return (cls_logits.reshape(b, n, -1), bbox_deltas.reshape(b, n, -1),
+                mask_logits, iou)
+
     def predict(
         self,
         feats: Sequence[jax.Array],

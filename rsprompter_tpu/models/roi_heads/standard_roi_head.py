@@ -168,6 +168,42 @@ class StandardRoIHead(nn.Module):
         )
         return losses
 
+    def tensor(
+        self,
+        feats: Sequence[jax.Array],
+        proposals: jax.Array,  # (B, N, 4)
+    ):
+        """Raw head outputs on the proposals — no decode/NMS/paste.
+
+        The ``mode='tensor'`` branch of the reference's 3-mode forward
+        contract (``mmdet/models/detectors/base.py:59-99`` dispatching to
+        ``StandardRoIHead.forward``, which runs the bbox head on all
+        proposals and the mask head on the first 100 rois only).
+        Returns (cls_logits (B, N, C+1), bbox_deltas (B, N, 4C),
+        mask_logits (B, min(N,100), S, S, Cm)).
+        """
+        b, n, _ = proposals.shape
+        rois = boxes_to_rois(proposals)
+        bbox_feats = extract_roi_feats(
+            feats[: len(self.featmap_strides)], rois,
+            (self.bbox_roi_size, self.bbox_roi_size), self.featmap_strides,
+            sampling_ratio=self.roi_sampling_ratio,
+        )
+        cls_logits, bbox_deltas = self.bbox_head(bbox_feats)
+        out = (cls_logits.reshape(b, n, -1), bbox_deltas.reshape(b, n, -1))
+        if not self.with_mask:
+            return out
+        m = min(n, 100)  # reference slice: standard_roi_head.forward rois[:100]
+        mask_rois = boxes_to_rois(proposals[:, :m])
+        mask_feats = extract_roi_feats(
+            feats[: len(self.featmap_strides)], mask_rois,
+            (self.mask_roi_size, self.mask_roi_size), self.featmap_strides,
+            sampling_ratio=self.roi_sampling_ratio,
+        )
+        mask_logits = self.mask_head(mask_feats)
+        s = mask_logits.shape[-2]
+        return out + (mask_logits.reshape(b, m, s, s, -1),)
+
     def predict(
         self,
         feats: Sequence[jax.Array],

@@ -160,3 +160,22 @@ def test_mask_loss_trains_through_point_emb_chain(model_and_params):
     stepped = jax.tree_util.tree_map(lambda p, g: p - lr * g / (gn + 1e-8), params, grads)
     l1 = mask_loss(stepped)
     assert float(l1) < float(l0), f"mask loss did not decrease: {l0} -> {l1}"
+
+
+def test_tensor_mode(model_and_params):
+    """mode='tensor' raw-outputs contract (reference base.py:59-99): RPN
+    per-level scores/deltas + raw RoI outputs, no decode/NMS/postprocess."""
+    model, variables, batch = model_and_params
+    out = jax.jit(lambda v, b: model.apply(v, b, method="tensor"))(
+        variables, batch
+    )
+    rpn_cls, rpn_deltas, cls_logits, bbox_deltas, mask_logits, iou = out
+    assert len(rpn_cls) == len(rpn_deltas) == 5  # one per FPN level
+    n = cls_logits.shape[1]
+    assert cls_logits.shape == (2, n, model.num_classes + 1)
+    assert bbox_deltas.shape == (2, n, 4 * model.num_classes)
+    m = mask_logits.shape[1]
+    assert iou.shape == (2, m)
+    assert mask_logits.ndim == 4  # (B, M, S, S) raw SAM-decoder logits
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert bool(jnp.isfinite(leaf).all())

@@ -245,3 +245,18 @@ def test_match_then_decode_loss_is_exact(query_model):
             np.asarray(fast[k], np.float32), np.asarray(slow[k], np.float32),
             atol=2e-4, rtol=2e-3, err_msg=k,
         )
+
+
+def test_tensor_mode(query_model):
+    """mode='tensor' (reference base.py:59-99 -> maskformer _forward): every
+    decoder layer's raw cls/mask logits, no fusion-head postprocess."""
+    model, variables, batch = query_model
+    cls_list, mask_list = jax.jit(
+        lambda v, b: model.apply(v, b, method="tensor")
+    )(variables, batch)
+    assert len(cls_list) == len(mask_list) == model.num_decoder_layers + 1
+    q = model.prompt_shape[0]
+    assert cls_list[-1].shape == (2, q, model.num_classes + 1)
+    assert mask_list[-1].ndim == 4 and mask_list[-1].shape[:2] == (2, q)
+    for leaf in jax.tree_util.tree_leaves((cls_list, mask_list)):
+        assert bool(jnp.isfinite(leaf).all())

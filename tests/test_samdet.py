@@ -94,3 +94,17 @@ def test_oracle_predict_uses_gt_boxes(model_and_params):
     v = np.asarray(batch["gt_valid"])
     assert (np.asarray(dets.scores)[v] == 1.0).all()
     assert mask_probs.shape[:2] == batch["gt_bboxes"].shape[:2]
+
+
+def test_tensor_mode(model_and_params):
+    """mode='tensor' for the trainable detector half: RPN per-level raw
+    outputs + raw RoI bbox head outputs (no mask head: with_mask=False)."""
+    model, variables, batch = model_and_params
+    out = jax.jit(lambda v, b: model.apply(v, b, method="tensor"))(
+        variables, batch
+    )
+    rpn_cls, rpn_deltas, cls_logits, bbox_deltas = out
+    assert len(rpn_cls) == len(rpn_deltas) == 5
+    n = cls_logits.shape[1]
+    assert cls_logits.shape == (2, n, model.num_classes + 1)
+    assert bbox_deltas.shape == (2, n, 4 * model.num_classes)

@@ -96,3 +96,19 @@ def test_predict_mode(model_and_params):
     v = np.asarray(dets.valid)
     boxes = np.asarray(dets.boxes)
     assert (boxes[v] >= 0).all() and (boxes[v][:, 2:] <= 64).all()
+
+
+def test_tensor_mode(model_and_params):
+    """mode='tensor': RPN raw outputs + RoI cls/deltas on all proposals +
+    FCN mask logits on the first <=100 rois (reference
+    standard_roi_head.forward slice)."""
+    model, variables, batch = model_and_params
+    out = jax.jit(lambda v, b: model.apply(v, b, method="tensor"))(
+        variables, batch
+    )
+    rpn_cls, rpn_deltas, cls_logits, bbox_deltas, mask_logits = out
+    n = cls_logits.shape[1]
+    assert cls_logits.shape == (2, n, model.num_classes + 1)
+    assert bbox_deltas.shape == (2, n, 4 * model.num_classes)
+    assert mask_logits.shape[1] == min(n, 100)
+    assert mask_logits.shape[-1] == model.num_classes  # per-class FCN masks
