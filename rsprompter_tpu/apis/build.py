@@ -63,6 +63,18 @@ def build_detector(model_cfg: Dict[str, Any]):
         lora_rank=(peft or {}).get("r", 0),
         lora_alpha=(peft or {}).get("lora_alpha", 32.0),
     )
+    # Tiny-model escape hatch (regression/smoke configs, CPU CI): a raw
+    # vision_config dict overrides the named arch, and the stride ladders
+    # follow for small image sizes. Not part of the reference vocabulary.
+    if cfg.get("vision_config") is not None and mtype != "SAMDet":
+        from rsprompter_tpu.models.sam.configs import SamVisionConfig
+
+        common["vision_config"] = SamVisionConfig(**cfg["vision_config"])
+    for key in ("rpn_strides", "roi_strides"):
+        if cfg.get(key) is not None and mtype in (
+            "RSPrompterAnchor", "SAMSegMaskRCNN", "SAMDet"
+        ):
+            common[key] = tuple(cfg[key])
     # Exact (max-subtracted) softmax in the fused attention whenever the
     # encoder receives gradients: from-scratch/LoRA training can push logits
     # outside the clamp's (-60, 60) exact range (ADVICE r2). Frozen encoders

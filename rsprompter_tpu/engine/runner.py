@@ -262,6 +262,7 @@ class Runner:
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         offset = 0
+        n_dets, score_sum, mask_prob_sum = 0, 0.0, 0.0
         for batch_np, metas in self.val_loader:
             batch = self.batch_fn(batch_np)
             dets, mask_probs = predict(variables, batch)
@@ -275,10 +276,27 @@ class Runner:
             dets_np = jax.device_get(dets)
             probs_np = np.asarray(mask_probs)
             metric.process(metas, dets_np, probs_np, gts)
+            # prediction digest: numeric fingerprints of the predict path,
+            # logged alongside the COCO metrics. The self-parity regression
+            # net (tests/test_regression_net.py) pins these — they move on
+            # ANY predict-chain numeric drift, even while a short run's mAP
+            # is still 0 and therefore blind to it.
+            valid = np.asarray(dets_np.valid, bool)[: len(metas)]
+            n_dets += int(valid.sum())
+            score_sum += float(np.asarray(dets_np.scores)[: len(metas)][valid].sum())
+            if valid.any():
+                m = float(probs_np[: len(metas)][valid].mean(dtype=np.float64))
+                if probs_np.dtype == np.uint8:  # quantize_probs_u8 transfer
+                    m /= 255.0
+                mask_prob_sum += m * int(valid.sum())
             if self.vis_interval and offset % self.vis_interval == 0:
                 self._visualize(metas[0], dets_np, probs_np, offset)
             offset += len(metas)
-        return metric.compute()
+        results = metric.compute()
+        results["val/num_dets"] = float(n_dets)
+        results["val/mean_score"] = score_sum / max(n_dets, 1)
+        results["val/mean_mask_prob"] = mask_prob_sum / max(n_dets, 1)
+        return results
 
     def _visualize(self, meta, dets, probs, index: int) -> None:
         try:
