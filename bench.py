@@ -117,41 +117,38 @@ def bench_full_model():
             dts.append((t_hi - t_lo) / (n_hi - n_lo))
         return min(dts)
 
-    def piped_predict_time(model_, vars_, warmup=5, reps=10):
-        """Host-observed e2e s/batch with the serving bits-transfer path
-        (threshold@mask-res then packbits on device, PARITY-documented
-        boundary-band deviation; ``tools/serve.py --mask-transfer bits``),
-        PIPELINED: rep i+1 is dispatched before rep i's outputs are fetched,
-        so device compute overlaps the tunnel transfer — the steady-state
-        throughput a batched consumer (serve.py, test.py) actually sees."""
-        from rsprompter_tpu.ops.masks import pack_mask_bits
+    def piped_predict_time(model_, vars_, warmup=6, reps=12, depth=2):
+        """Host-observed e2e s/batch with the serving 'flat' transfer path
+        (``tools/serve.py --mask-transfer flat``): masks thresholded and
+        bit-packed on device (PARITY-documented boundary-band deviation)
+        then packed WITH the det fields into ONE uint8 buffer — one transfer
+        round-trip per batch instead of five — and PIPELINED with a
+        ``depth``-deep in-flight queue so device compute overlaps the tunnel
+        transfer. A/B'd in scripts/perf_e2e_depth.py (tree-of-5 depth1
+        133 ms -> flat depth2 124 ms @1024^2 bs2 anchor); this is the
+        steady-state throughput a batched consumer actually sees."""
+        from rsprompter_tpu.ops.masks import pack_mask_bits, pack_predict_flat
 
         @jax.jit
         def predict(variables, b):
             dets, probs = model_.apply(variables, b, method="predict")
-            return dets, pack_mask_bits(probs)
+            return pack_predict_flat(dets, pack_mask_bits(probs))
 
         def fetch(out):
-            # start every leaf's device->host copy before forcing any: each
-            # np.asarray alone is a full tunnel round-trip, and a DetResult +
-            # packed masks is 5 leaves (observed: ~150 ms/rep of serialized
-            # RTTs vs ~30 ms overlapped)
-            leaves = jax.tree_util.tree_leaves(out)
-            for leaf in leaves:
-                leaf.copy_to_host_async()
-            for leaf in leaves:
-                np.asarray(leaf)
+            np.asarray(out)
 
         for _ in range(warmup):
             fetch(predict(vars_, batch))
         t0 = time.perf_counter()
-        prev = None
+        inflight = []
         for _ in range(reps):
             out = predict(vars_, batch)  # async dispatch
-            if prev is not None:
-                fetch(prev)  # transfer rep i-1 while rep i computes
-            prev = out
-        fetch(prev)
+            out.copy_to_host_async()
+            inflight.append(out)
+            if len(inflight) > depth:
+                fetch(inflight.pop(0))
+        for out in inflight:
+            fetch(out)
         return (time.perf_counter() - t0) / reps
 
     def bench_predict_family(name, model_, vars_):

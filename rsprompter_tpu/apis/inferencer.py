@@ -70,7 +70,7 @@ class DetInferencer:
         of tracing/compiling the flax model (weights-embedded artifacts take
         one arg; program-only artifacts get the locally-loaded variables).
         """
-        assert mask_transfer in ("u8", "f32", "bits"), mask_transfer
+        assert mask_transfer in ("u8", "f32", "bits", "flat"), mask_transfer
         if exported and mask_transfer != "u8":
             raise ValueError(
                 "exported artifacts always ship uint8 mask probs; "
@@ -91,6 +91,7 @@ class DetInferencer:
         self.num_classes = cfg.model.get("num_classes", 1)
         self._variables = None
         self._predict = None
+        self._flat_shapes_cache = {}
         self.mask_transfer = mask_transfer
         self.exported = exported
         self.weights = weights
@@ -153,18 +154,26 @@ class DetInferencer:
             self._set_exported_predict(self._exported_handle, takes_vars=True)
             return
 
-        from rsprompter_tpu.ops.masks import pack_mask_bits, quantize_probs_u8
+        from rsprompter_tpu.ops.masks import (
+            pack_mask_bits,
+            pack_predict_flat,
+            quantize_probs_u8,
+        )
 
         def _pred(v, b):
             dets, probs = self.model.apply(v, b, method="predict")
             # device->host transfer of (B, N, 256, 256) fp32 probs dominates
             # serving latency on a slow link; ship uint8 (4x less, lossless
-            # for the threshold chain) or thresholded packed bits (32x less,
-            # boundary-band deviation; see pack_mask_bits)
+            # for the threshold chain), thresholded packed bits (32x less,
+            # boundary-band deviation; see pack_mask_bits), or 'flat' =
+            # bits + det fields in ONE uint8 buffer (one transfer round-trip
+            # per batch instead of five)
             if self.mask_transfer == "u8":
                 probs = quantize_probs_u8(probs)
-            elif self.mask_transfer == "bits":
+            elif self.mask_transfer in ("bits", "flat"):
                 probs = pack_mask_bits(probs)
+            if self.mask_transfer == "flat":
+                return pack_predict_flat(dets, probs)
             return dets, probs
 
         self._predict = jax.jit(_pred)
@@ -218,6 +227,7 @@ class DetInferencer:
         if isinstance(inputs, (str, np.ndarray)):
             inputs = [inputs]
         predictions = []
+        pending = None  # dispatch-ahead: postprocess chunk k while k+1 runs
         for start in range(0, len(inputs), self.batch_size):
             chunk = inputs[start : start + self.batch_size]
             imgs = [self._load_image(item) for item in chunk]
@@ -231,48 +241,24 @@ class DetInferencer:
             )
             batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
             self._ensure_initialized(batch)
-            dets, mask_probs = self._predict(self._variables, batch)
-            dets = jax.device_get(dets)
-            mask_probs = np.asarray(mask_probs)
-            for i, meta in enumerate(metas[: len(chunk)]):
-                keep = np.asarray(dets.valid[i]) & (
-                    np.asarray(dets.scores[i]) > score_thr
-                )
-                ws, hs = meta["scale_factor"]
-                pred = dict(
-                    bboxes=(
-                        np.asarray(dets.boxes[i])[keep]
-                        / np.array([ws, hs, ws, hs], np.float32)
-                    ).tolist(),
-                    scores=np.asarray(dets.scores[i])[keep].tolist(),
-                    labels=np.asarray(dets.labels[i])[keep].tolist(),
-                )
-                if return_masks and mask_probs is not None:
-                    probs_i = mask_probs[i][keep]
-                    if self.mask_transfer == "bits":
-                        from rsprompter_tpu.ops.masks import unpack_mask_bits
-
-                        probs_i = unpack_mask_bits(
-                            probs_i, probs_i.shape[-1] * 8
-                        )
-                    masks = finalize_masks_np(
-                        probs_i, meta["batch_input_shape"],
-                        meta["ori_shape"], meta["scale_factor"],
-                    )
-                    pred["masks"] = masks
-                predictions.append(pred)
-                if out_dir:
-                    os.makedirs(out_dir, exist_ok=True)
-                    img = self._load_image(chunk[i])
-                    vis = draw_predictions(img, pred)
-                    import cv2
-
-                    name = (
-                        os.path.basename(chunk[i])
-                        if isinstance(chunk[i], str)
-                        else f"img_{start + i}.jpg"
-                    )
-                    cv2.imwrite(os.path.join(out_dir, name), vis)
+            out = self._predict(self._variables, batch)
+            # start every device->host copy now, so the transfer overlaps
+            # the next chunk's host load + dispatch (each synchronous
+            # np.asarray alone is a full tunnel round-trip)
+            for leaf in jax.tree_util.tree_leaves(out):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+            if pending is not None:
+                predictions.extend(self._finish_chunk(
+                    *pending, return_masks=return_masks,
+                    score_thr=score_thr, out_dir=out_dir,
+                ))
+            pending = (out, batch, metas, chunk, start)
+        if pending is not None:
+            predictions.extend(self._finish_chunk(
+                *pending, return_masks=return_masks,
+                score_thr=score_thr, out_dir=out_dir,
+            ))
         result = {"predictions": predictions}
         if out_dir:
             dumpable = [
@@ -281,6 +267,81 @@ class DetInferencer:
             with open(os.path.join(out_dir, "predictions.json"), "w") as f:
                 json.dump(dumpable, f)
         return result
+
+    def _flat_shapes(self, batch):
+        """(n_dets, (mask_h, mask_w_bytes)) for ``unpack_predict_flat`` —
+        eval_shape'd once per input shape (no compile)."""
+        key = batch["images"].shape
+        if key not in self._flat_shapes_cache:
+            dets_s, probs_s = jax.eval_shape(
+                lambda v, b: self.model.apply(v, b, method="predict"),
+                self._variables, batch,
+            )
+            h, w = probs_s.shape[-2:]
+            self._flat_shapes_cache[key] = (dets_s.scores.shape[1], (h, w // 8))
+        return self._flat_shapes_cache[key]
+
+    def _finish_chunk(
+        self, out, batch, metas, chunk, start, *, return_masks, score_thr,
+        out_dir,
+    ):
+        import types
+
+        if self.mask_transfer == "flat":
+            from rsprompter_tpu.ops.masks import unpack_predict_flat
+
+            n, mask_hw = self._flat_shapes(batch)
+            flat = unpack_predict_flat(np.asarray(out), n, mask_hw)
+            dets = types.SimpleNamespace(
+                boxes=flat["boxes"], scores=flat["scores"],
+                labels=flat["labels"], valid=flat["valid"],
+            )
+            mask_probs = flat["mask_bits"]
+        else:
+            dets, mask_probs = out
+            dets = jax.device_get(dets)
+            mask_probs = np.asarray(mask_probs)
+        predictions = []
+        for i, meta in enumerate(metas[: len(chunk)]):
+            keep = np.asarray(dets.valid[i]) & (
+                np.asarray(dets.scores[i]) > score_thr
+            )
+            ws, hs = meta["scale_factor"]
+            pred = dict(
+                bboxes=(
+                    np.asarray(dets.boxes[i])[keep]
+                    / np.array([ws, hs, ws, hs], np.float32)
+                ).tolist(),
+                scores=np.asarray(dets.scores[i])[keep].tolist(),
+                labels=np.asarray(dets.labels[i])[keep].tolist(),
+            )
+            if return_masks and mask_probs is not None:
+                probs_i = mask_probs[i][keep]
+                if self.mask_transfer in ("bits", "flat"):
+                    from rsprompter_tpu.ops.masks import unpack_mask_bits
+
+                    probs_i = unpack_mask_bits(
+                        probs_i, probs_i.shape[-1] * 8
+                    )
+                masks = finalize_masks_np(
+                    probs_i, meta["batch_input_shape"],
+                    meta["ori_shape"], meta["scale_factor"],
+                )
+                pred["masks"] = masks
+            predictions.append(pred)
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+                img = self._load_image(chunk[i])
+                vis = draw_predictions(img, pred)
+                import cv2
+
+                name = (
+                    os.path.basename(chunk[i])
+                    if isinstance(chunk[i], str)
+                    else f"img_{start + i}.jpg"
+                )
+                cv2.imwrite(os.path.join(out_dir, name), vis)
+        return predictions
 
 
 _PALETTE = [

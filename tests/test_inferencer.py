@@ -81,3 +81,42 @@ def test_draw_predictions_runs():
     out = draw_predictions(img, pred)
     assert out.shape == (64, 64, 3)
     assert out.max() > 0  # something was drawn
+
+
+def test_flat_transfer_matches_bits():
+    """mask_transfer='flat' (det fields + mask bits in ONE buffer, one
+    transfer round-trip per batch, pipelined across chunks) must produce
+    identical predictions to 'bits'."""
+    tiny = {
+        "type": "RSPrompterAnchor", "num_classes": 1, "image_size": 64,
+        "vision_config": dict(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            image_size=64, patch_size=8, window_size=4,
+            global_attn_indexes=(1,), output_channels=32,
+        ),
+        "select_layers": (1, 2), "aggregator_hidden": 8,
+        "rpn_strides": (2, 4, 8, 16, 32), "roi_strides": (2, 4, 8, 16),
+        "prompt_shape": (10, 3),
+        "test_cfg": dict(
+            rpn=dict(nms_pre=50, max_per_img=20, pre_nms_total=60),
+            rcnn=dict(score_thr=0.0, max_per_img=4),
+        ),
+    }
+    rng = np.random.default_rng(0)
+    imgs = [rng.uniform(0, 255, (50, 60, 3)).astype(np.float32)
+            for _ in range(3)]  # 2 chunks at batch_size=2 -> pipelining runs
+    cfg = {"model": tiny, "crop_size": (64, 64)}
+    from rsprompter_tpu.core.config import Config
+
+    preds = {}
+    for mode in ("bits", "flat"):
+        inf = DetInferencer(
+            Config.fromdict(cfg), batch_size=2, mask_transfer=mode
+        )
+        preds[mode] = inf(imgs)["predictions"]
+    assert len(preds["flat"]) == len(preds["bits"]) == 3
+    for pf, pb in zip(preds["flat"], preds["bits"]):
+        np.testing.assert_array_equal(pf["bboxes"], pb["bboxes"])
+        np.testing.assert_array_equal(pf["scores"], pb["scores"])
+        np.testing.assert_array_equal(pf["labels"], pb["labels"])
+        np.testing.assert_array_equal(pf["masks"], pb["masks"])

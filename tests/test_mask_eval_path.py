@@ -199,3 +199,36 @@ def test_bbox_only_dump_loads(tmp_path):
     assert dump.stat().st_size < 200_000  # RLE, not pixel lists
     offline = evaluate_dump(str(dump))
     assert offline["coco/bbox_mAP_50"] == online["coco/bbox_mAP_50"] == 1.0
+
+
+def test_pack_predict_flat_roundtrip():
+    """flat mode: DetResult fields + packed mask bits in ONE uint8 buffer
+    (one device->host transfer) must invert exactly."""
+    import jax.numpy as jnp
+
+    from rsprompter_tpu.models.roi_heads.bbox_head import DetResult
+    from rsprompter_tpu.ops.masks import (
+        pack_mask_bits,
+        pack_predict_flat,
+        unpack_predict_flat,
+    )
+
+    rng = np.random.default_rng(0)
+    b, n, h, w = 2, 7, 32, 64
+    dets = DetResult(
+        boxes=jnp.asarray(rng.uniform(0, 100, (b, n, 4)).astype(np.float32)),
+        scores=jnp.asarray(rng.uniform(0, 1, (b, n)).astype(np.float32)),
+        labels=jnp.asarray(rng.integers(0, 5, (b, n)).astype(np.int32)),
+        valid=jnp.asarray(rng.integers(0, 2, (b, n)).astype(bool)),
+    )
+    probs = rng.uniform(0, 1, (b, n, h, w)).astype(np.float32)
+    bits = pack_mask_bits(jnp.asarray(probs))
+    buf = np.asarray(pack_predict_flat(dets, bits))
+    assert buf.dtype == np.uint8 and buf.shape == (b, 25 * n + n * h * (w // 8))
+
+    out = unpack_predict_flat(buf, n, (h, w // 8))
+    np.testing.assert_array_equal(out["boxes"], np.asarray(dets.boxes))
+    np.testing.assert_array_equal(out["scores"], np.asarray(dets.scores))
+    np.testing.assert_array_equal(out["labels"], np.asarray(dets.labels))
+    np.testing.assert_array_equal(out["valid"], np.asarray(dets.valid))
+    np.testing.assert_array_equal(out["mask_bits"], np.asarray(bits))

@@ -55,10 +55,12 @@ def parse_args():
                         "instead of tracing/compiling the model (must match "
                         "--max-batch and the bucket size it was exported at)")
     p.add_argument("--mask-transfer", default="u8",
-                   choices=("u8", "f32", "bits"),
+                   choices=("u8", "f32", "bits", "flat"),
                    help="device->host mask encoding: u8 (4x less traffic, "
                         "default), f32 (exact), bits (32x less; thresholds "
-                        "at low res — lowest latency)")
+                        "at low res — low latency), flat (bits + det fields "
+                        "packed into ONE buffer = one transfer round-trip "
+                        "per batch — lowest latency)")
     p.add_argument("--request-timeout", type=float, default=0.0,
                    help="seconds a request may wait for its batch result "
                         "before the server answers 503 (default 0 = wait "
