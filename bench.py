@@ -38,8 +38,9 @@ TARGET_MULTIPLIER = 2.0
 def bench_full_model():
     """Full-model metrics @1024^2 bs2 for BOTH families, printed as extra
     JSON lines BEFORE the headline: predict device-compute (scan-chained) and
-    host-observed e2e (bits masks, pipelined — transfer overlapped with the
-    next batch's compute), plus the CANONICAL train-step s/iter.
+    host-observed e2e (flat single-buffer transfer, pipelined — transfer
+    overlapped with the next batch's compute), plus the CANONICAL train-step
+    s/iter.
 
     Train steps are the REAL training configuration (VERDICT r3 weak #2):
     ``engine.optim.build_optimizer`` with the config's freeze masks (frozen
@@ -160,7 +161,7 @@ def bench_full_model():
         }))
         dt = piped_predict_time(model_, vars_)
         print(json.dumps({
-            "metric": f"{name} predict e2e (bits masks, pipelined, ViT-B @1024^2, bs2, tpu)",
+            "metric": f"{name} predict e2e (flat transfer, pipelined, ViT-B @1024^2, bs2, tpu)",
             "value": round(bs / dt, 2), "unit": "img/s",
             "vs_baseline": None,
         }))
