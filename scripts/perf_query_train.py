@@ -100,8 +100,27 @@ def run(variant):
                 masks.mean(axis=(-2, -1), keepdims=False)[..., None],
                 masks.shape[:-2] + (coords.shape[-2],),
             )
-        patch(pu, "sample_mask_points", fake_pts)
-        patch(mh, "sample_mask_points", fake_pts)
+        for name in ("sample_mask_points", "sample_mask_points_shared",
+                     "sample_mask_points_matmul"):
+            patch(pu, name, fake_pts)
+        for name in ("sample_mask_points_shared", "sample_mask_points_matmul"):
+            patch(mh, name, fake_pts)
+    elif variant in ("sgvalue", "sggrid"):
+        # pinpoint the pixel decoder's bwd cost: sgvalue kills the
+        # scatter-add grad into the value maps (the take's transpose);
+        # sggrid kills the grad through the sampling coordinates (which
+        # rematerializes the corner gather in bwd)
+        import rsprompter_tpu.ops.msdeform_attn as mda
+        real_gs = mda.grid_sample_nhwc
+        if variant == "sgvalue":
+            def wrapped(img, grid, align_corners=False):
+                return real_gs(jax.lax.stop_gradient(img), grid,
+                               align_corners=align_corners)
+        else:
+            def wrapped(img, grid, align_corners=False):
+                return real_gs(img, jax.lax.stop_gradient(grid),
+                               align_corners=align_corners)
+        patch(mda, "grid_sample_nhwc", wrapped)
     elif variant == "nomatch":
         def fake_match(cost, gt_valid):
             g = cost.shape[-1]
