@@ -74,20 +74,7 @@ def extract_roi_feats(
     adaptive = sampling_ratio == 0
     s = max_adaptive_ratio if adaptive else max(int(sampling_ratio), 1)
 
-    # Corner-packed pyramid: replicate-pad each level bottom/right by 1 and
-    # pack the 2x2 neighborhood into the channel axis, so ONE row take
-    # fetches all four bilinear corners of a sample (4x fewer gather rows at
-    # 4x the width; same trick as ops/sampling.py). Replicate padding IS the
-    # mmcv clamp: hi = min(lo+1, lim-1) — the packed hi-half at the edge
-    # reads the replicated edge row, exactly the clamped corner.
-    packed = []
-    for f in feats:
-        fp = jnp.pad(f, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
-        packed.append(jnp.concatenate(
-            [fp[:, :-1, :-1], fp[:, :-1, 1:],
-             fp[:, 1:, :-1], fp[:, 1:, 1:]], axis=-1,
-        ).reshape(b, -1, 4 * c))
-    flat = jnp.concatenate(packed, axis=1)  # (B, sum HW, 4C)
+    flat = jnp.concatenate([f.reshape(b, -1, c) for f in feats], axis=1)
     level_sizes = [(f.shape[1], f.shape[2]) for f in feats]
     starts = np.cumsum([0] + [h * w for h, w in level_sizes])[:-1]
     lvl_h = jnp.asarray([h for h, _ in level_sizes], jnp.float32)[target_lvl]
@@ -143,30 +130,27 @@ def extract_roi_feats(
     n_y = ys.shape[1]
     n_x = xs.shape[1]
 
-    # corner-grid gather: one linear-index row take of the packed pyramid
-    # fetches the whole (n_y, n_x) sample grid, each row carrying its 2x2
-    # corner block. Folding the batch axis into the row index lets XLA use
-    # its fast embedding-lookup gather — a two-axis fancy index
-    # (batch_idx, idx) scalarized (116 ms of the 210 ms anchor predict
-    # @1024^2 bs2); the corner packing then cut the row count 4x again.
+    # corner-grid gather: one linear-index row take for the full
+    # (2 n_y, 2 n_x) corner grid per RoI. Folding the batch axis into the
+    # row index lets XLA use its fast embedding-lookup gather — the previous
+    # two-axis fancy index (batch_idx, idx) scalarized (116 ms of the 210 ms
+    # anchor predict @1024^2 bs2).
     base = (batch_idx * flat.shape[1]) + lvl_start  # (R,)
     w_i = w_r.astype(jnp.int32)  # (R, 1)
-    flat2 = flat.reshape(b * flat.shape[1], 4 * c)
+    flat2 = flat.reshape(b * flat.shape[1], c)
+    ygrid = jnp.concatenate([y_lo, y_hi], axis=1).astype(jnp.int32)  # (R, 2n_y)
+    xgrid = jnp.concatenate([x_lo, x_hi], axis=1).astype(jnp.int32)  # (R, 2n_x)
     idx = (
         base[:, None, None]
-        + y_lo.astype(jnp.int32)[:, :, None] * w_i[:, :, None]
-        + x_lo.astype(jnp.int32)[:, None, :]
-    )  # (R, n_y, n_x)
-    # packed channel order [y0x0, y0x1, y1x0, y1x1] -> axes (a=y-corner,
-    # b=x-corner); the einsums contract the tiny corner axes in place
-    v = jnp.take(flat2, idx.reshape(r, -1), axis=0).reshape(
-        r, n_y, n_x, 2, 2, c
-    )
+        + ygrid[:, :, None] * w_i[:, :, None]
+        + xgrid[:, None, :]
+    )  # (R, 2n_y, 2n_x)
+    v = jnp.take(flat2, idx.reshape(r, -1), axis=0).reshape(r, 2 * n_y, 2 * n_x, c)
 
-    # per-axis reduction weights: corner weight x adaptive sample mask x
-    # inside mask, scattered to output bins by the STATIC sample->bin
-    # one-hot. Two einsums (fp32 accumulate) replace the whole per-sample
-    # elementwise tail.
+    # per-axis reduction weights (R, out, 2n): corner weight x adaptive
+    # sample mask x inside mask, scattered to output bins by the STATIC
+    # sample->bin one-hot. Two einsums (fp32 accumulate) then replace the
+    # whole per-sample elementwise tail.
     oh_y = (
         (np.arange(n_y) // s)[None, :] == np.arange(out_h)[:, None]
     ).astype(np.float32)  # (out_h, n_y) static
@@ -174,20 +158,21 @@ def extract_roi_feats(
         (np.arange(n_x) // s)[None, :] == np.arange(out_w)[:, None]
     ).astype(np.float32)
 
-    dt = feats[0].dtype
+    dt = flat.dtype
     wy_s = my * ins_y.astype(jnp.float32)  # (R, n_y)
     wx_s = mx * ins_x.astype(jnp.float32)
-    wy2 = jnp.stack([(1.0 - ly) * wy_s, ly * wy_s], axis=-1)  # (R, n_y, 2)
-    wx2 = jnp.stack([(1.0 - lx) * wx_s, lx * wx_s], axis=-1)
-    wy_b = (wy2[:, None] * jnp.asarray(oh_y)[None, :, :, None]).astype(dt)
-    wx_b = (wx2[:, None] * jnp.asarray(oh_x)[None, :, :, None]).astype(dt)
-    # wy_b (R, out_h, n_y, 2); wx_b (R, out_w, n_x, 2)
+    wy = jnp.concatenate([(1.0 - ly) * wy_s, ly * wy_s], axis=1)  # (R, 2n_y)
+    wx = jnp.concatenate([(1.0 - lx) * wx_s, lx * wx_s], axis=1)
+    oh2_y = jnp.asarray(np.concatenate([oh_y, oh_y], axis=1))  # (out_h, 2n_y)
+    oh2_x = jnp.asarray(np.concatenate([oh_x, oh_x], axis=1))
+    wy_b = (wy[:, None, :] * oh2_y[None]).astype(dt)  # (R, out_h, 2n_y)
+    wx_b = (wx[:, None, :] * oh2_x[None]).astype(dt)  # (R, out_w, 2n_x)
 
     t = jnp.einsum(
-        "riua,ruvabc->rivbc", wy_b, v, preferred_element_type=jnp.float32
-    )  # (R, out_h, n_x, 2, C)
+        "riu,ruvc->rivc", wy_b, v, preferred_element_type=jnp.float32
+    )  # (R, out_h, 2n_x, C)
     out = jnp.einsum(
-        "rjvb,rivbc->rijc", wx_b, t, preferred_element_type=jnp.float32
+        "rjv,rivc->rijc", wx_b, t, preferred_element_type=jnp.float32
     )  # (R, out_h, out_w, C) fp32
 
     # bin averaging: count = (samples per y-bin) x (samples per x-bin) —
