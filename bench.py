@@ -34,6 +34,41 @@ import jax.numpy as jnp
 A100_REFERENCE_IPS = 40.0
 TARGET_MULTIPLIER = 2.0
 
+# Wall-clock budget for the OPTIONAL full-model extras (seconds from process
+# start). A fully cold run is ~12 large XLA programs through the tunnel
+# (2-6 min compile each); the driver runs bench.py under its own timeout, and
+# the round-5 rc=124 showed the extras can eat the headline. Phases check the
+# deadline BEFORE starting; whatever completed still prints, and the headline
+# (measured first, printed last) always survives.
+_T0 = time.time()
+BENCH_DEADLINE_SECS = float(os.environ.get("RSPROMPTER_BENCH_DEADLINE", 2100))
+
+
+def _past_deadline(label):
+    if time.time() - _T0 > BENCH_DEADLINE_SECS:
+        import sys
+
+        print(
+            f"{label} skipped: past RSPROMPTER_BENCH_DEADLINE "
+            f"({BENCH_DEADLINE_SECS:.0f}s)", file=sys.stderr, flush=True,
+        )
+        return True
+    return False
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache under .xla_cache/ (same as the dryrun):
+    re-runs with unchanged code recompile nothing, so the driver's bench
+    invocation is warm if the builder ran bench.py in the same round."""
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".xla_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # the cache is an optimization; never fail the bench over it
+
 
 def bench_full_model():
     """Full-model metrics @1024^2 bs2 for BOTH families, printed as extra
@@ -72,9 +107,17 @@ def bench_full_model():
     )()
 
     def attempt(label, fn, tries=2):
+        import sys
+
+        if _past_deadline(label):
+            return None
+        t0 = time.time()
         for i in range(tries):
             try:
-                return fn()
+                out = fn()
+                print(f"{label}: {time.time() - t0:.0f}s",
+                      file=sys.stderr, flush=True)
+                return out
             except Exception as e:  # transient tunnel/backend errors: retry
                 if i == tries - 1:
                     print(f"{label} skipped: {e}", flush=True)
@@ -311,6 +354,7 @@ def measure_headline(batch=8, image_size=1024):
 
 def main():
     batch, image_size = 8, 1024
+    _enable_compile_cache()
     # transient tunnel errors (remote_compile read-body etc.) happen; the
     # driver runs this exactly once per round, so retry the headline once
     for attempt in range(2):
