@@ -15,6 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from rsprompter_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     p = argparse.ArgumentParser(description="Image demo")
     p.add_argument("img", help="image path (or directory)")
     p.add_argument("config")

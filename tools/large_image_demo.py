@@ -40,6 +40,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from rsprompter_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     import cv2
 
     from rsprompter_tpu.apis.inferencer import DetInferencer, draw_predictions

@@ -276,6 +276,8 @@ def make_handler(worker: BatchWorker, model_name: str, default_thr: float,
 
 def main():
     args = parse_args()
+    from rsprompter_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     from rsprompter_tpu.apis.inferencer import DetInferencer
 
     buckets = (

@@ -82,6 +82,9 @@ def _dump_overlays(show_dir, metas, dets, probs, classes, score_thr=0.3):
 
 
 def main():
+    from rsprompter_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     args = parse_args()
     import jax
 

@@ -30,6 +30,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from rsprompter_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
 
     # the axon sitecustomize force-pins the platform; this env knob lets
